@@ -1,0 +1,365 @@
+"""EL classification as iterative DataFrame closure — replaces ELK.
+
+The reference delegates all hierarchy queries to ELK's precomputed class
+taxonomy (OntologyReasoningService.java:25-29).  For the EL fragment the
+pipeline exercises (conjunction + existential restriction + role
+hierarchy/chains/transitivity; CheckComplexNesting.java:63), the
+classified hierarchy is the least fixpoint of four rules over the stated
+subsumption edge set:
+
+  R-trans   a ⊑ b, b ⊑ c            ⟹ a ⊑ c        (semi-naive self-join)
+  R-pv      pv1=∃r1.F1, pv2=∃r2.F2,
+            r1 ⊑* r2, F1 ⊑* F2       ⟹ pv1 ⊑ pv2    (PV names rank like
+                                                      classes because the
+                                                      namer adds PV≡∃r.C,
+                                                      IntroducedNameHandler.java:48-62)
+  R-equiv   A ≡ C1⊓…⊓Cn, X ⊑* all Ci ⟹ X ⊑ A        (completes the ⟸
+                                                      direction of ≡, incl.
+                                                      GCI names GCI_j ≡ LHS)
+  R-chain   X ⊑* ∃r.F, F ⊑* ∃s.G,
+            r∘s ⊑ t (or r transitive) ⟹ X ⊑ ∃t.G     (existential
+                                                      propagation onto
+                                                      *named* PVs only)
+
+Every rule is a join; the driver loop iterates to fixpoint with
+``localCheckpoint`` per round to truncate lineage (the custom physical
+strategy SURVEY.md §4 calls for — no Catalyst extension needed).
+
+Scale notes (100 TB / 360k-concept closure): the closure table is the
+hub-skew hot spot (SCT top is an ancestor of everything).  All consumers
+join on the *desc* side or aggregate before joining; AQE skew-join is on
+(session.py).  ``transitive_closure`` supports incremental extension so
+re-classification after adding edges (SubOntologyExtractionHandler.java:186
+re-classifies from scratch) only closes the delta.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .model import Ontology
+
+
+def _chk(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=True)
+
+
+def transitive_closure(
+    edges: DataFrame,
+    seed_closure: DataFrame | None = None,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Strict transitive closure of (child, parent) → (desc, anc).
+
+    Semi-naive: each round extends only the frontier ``delta`` by one
+    edge hop (A1 in SURVEY.md §2.2).  ``seed_closure``: an already-closed
+    relation; new edges are closed against it incrementally instead of
+    recomputing from scratch.
+    """
+    edges = edges.select(F.col("child").alias("desc"), F.col("parent").alias("anc")).distinct()
+    if seed_closure is not None:
+        base = seed_closure.select("desc", "anc").unionByName(edges).distinct()
+    else:
+        base = edges
+    closure = _chk(base)
+    # hop relation: one-step edges plus (when incremental) the seed, which
+    # being transitively closed collapses multi-hop paths in one round.
+    # Explicit column renames everywhere: self-joins on the same plan are
+    # re-selected with fresh names to avoid expression-id ambiguity.
+    hop = closure.select(F.col("desc").alias("hop_desc"), F.col("anc").alias("hop_anc"))
+    delta = closure
+    for _ in range(max_rounds):
+        delta = (
+            delta.select(F.col("desc").alias("d_desc"), F.col("anc").alias("d_anc"))
+            .join(hop, F.col("d_anc") == F.col("hop_desc"))
+            .select(F.col("d_desc").alias("desc"), F.col("hop_anc").alias("anc"))
+            .distinct()
+            .join(closure, ["desc", "anc"], "left_anti")
+        )
+        delta = _chk(delta)
+        if delta.isEmpty():
+            break
+        closure = _chk(closure.unionByName(delta))
+        hop = closure.select(F.col("desc").alias("hop_desc"), F.col("anc").alias("hop_anc")) if seed_closure is None else hop
+    else:
+        raise RuntimeError("transitive_closure: max_rounds exceeded")
+    return closure.filter(F.col("desc") != F.col("anc"))
+
+
+def derive_direct_edges(closure: DataFrame) -> DataFrame:
+    """Direct ('told+inferred nearest') edges from a strict closure.
+
+    anc is a *direct* parent of desc iff no z with desc ⊏ z ⊏ anc
+    (A3 in SURVEY.md §2.2; ELK reasoner.getSuperClasses(cls, true)).
+    closure ⋈ closure on the mid node, then anti-join.
+    """
+    a = closure.select(F.col("desc").alias("a_desc"), F.col("anc").alias("a_anc"))
+    b = closure.select(F.col("desc").alias("b_desc"), F.col("anc").alias("b_anc"))
+    with_mid = (
+        a.join(b, F.col("a_anc") == F.col("b_desc"))
+        .select(F.col("a_desc").alias("desc"), F.col("b_anc").alias("anc"))
+        .distinct()
+    )
+    return closure.join(with_mid, ["desc", "anc"], "left_anti").select(
+        F.col("desc").alias("child"), F.col("anc").alias("parent")
+    )
+
+
+@dataclass
+class Classified:
+    """The reasoner surface: every downstream operator joins these.
+
+    closure        — strict (desc, anc), PV/GCI names included
+    direct         — nearest parents (child, parent)
+    non_primitive  — ids having an EquivalentClasses axiom
+                     (OntologyReasoningService.java:194-196: primitive =
+                     no equivalence axiom in the *renamed* ontology, so
+                     PV and GCI names are non-primitive)
+    prop_closure   — strict role hierarchy closure (child, parent)
+    pv_names / gci_names — the introduced-name dictionaries as DFs
+    """
+
+    closure: DataFrame
+    direct: DataFrame
+    non_primitive: DataFrame
+    prop_closure: DataFrame
+    pv_names: DataFrame
+    gci_names: DataFrame
+
+    def ancestors_of(self, ids: DataFrame, id_col: str = "concept_id") -> DataFrame:
+        """Distinct strict ancestors of a set (batched A2)."""
+        return (
+            self.closure.join(ids.withColumnRenamed(id_col, "desc"), "desc", "left_semi")
+            .select(F.col("anc"))
+            .distinct()
+        )
+
+    def descendants_of(self, ids: DataFrame, id_col: str = "concept_id") -> DataFrame:
+        return (
+            self.closure.join(ids.withColumnRenamed(id_col, "anc"), "anc", "left_semi")
+            .select(F.col("desc"))
+            .distinct()
+        )
+
+
+def _pv_conjuncts(ont: Ontology) -> DataFrame:
+    """(pv_id, role_id, kind, cref): simple filler as a single 'c'
+    conjunct, complex filler exploded."""
+    simple = ont.pvs.filter(F.col("filler_concept").isNotNull()).select(
+        "pv_id", "role_id", F.lit("c").alias("kind"), F.col("filler_concept").alias("cref")
+    )
+    complex_ = (
+        ont.pvs.filter(F.col("filler_concept").isNull())
+        .select("pv_id", "role_id", F.explode("filler_refs").alias("r"))
+        .select("pv_id", "role_id", F.col("r.kind").alias("kind"), F.col("r.ref_id").alias("cref"))
+    )
+    return simple.unionByName(complex_)
+
+
+def _covered_pairs(
+    left_conj: DataFrame, right_conj: DataFrame, closure: DataFrame,
+    left_id: str, right_id: str,
+) -> DataFrame:
+    """Pairs (L, R) where every conjunct of R is ⊒ some conjunct of L
+    (conjunct-coverage test shared by R-pv and R-equiv)."""
+    lc = left_conj.select(F.col(left_id).alias("L"), F.col("cref").alias("lcref"))
+    rc = right_conj.select(F.col(right_id).alias("R"), F.col("cref").alias("rcref"))
+    n_right = rc.groupBy("R").agg(F.count("*").alias("n_conj"))
+    clo = closure.select(F.col("desc").alias("cl_desc"), F.col("anc").alias("cl_anc"))
+    eq_match = lc.join(rc, F.col("lcref") == F.col("rcref"))
+    sub_match = lc.join(clo, F.col("lcref") == F.col("cl_desc")).join(
+        rc, F.col("cl_anc") == F.col("rcref")
+    )
+    matches = (
+        eq_match.select("L", "R", F.col("rcref").alias("cref"))
+        .unionByName(sub_match.select("L", "R", F.col("rcref").alias("cref")))
+        .distinct()
+    )
+    return (
+        matches.groupBy("L", "R")
+        .agg(F.count("*").alias("n_match"))
+        .join(n_right, "R")
+        .filter(F.col("n_match") == F.col("n_conj"))
+        .select("L", "R")
+    )
+
+
+def classify(ont: Ontology, max_fixpoint_rounds: int = 12) -> Classified:
+    """Full classification (A1): least fixpoint of the four rules."""
+    # ---- stated edges ----------------------------------------------------
+    stated = (
+        ont.axioms.select("sub_id", F.explode("rhs").alias("r"))
+        .select(F.col("sub_id").alias("child"), F.col("r.ref_id").alias("parent"))
+    )
+    gci_super_edges = (
+        ont.axioms.filter(F.col("is_gci"))
+        .select(F.col("sub_id").alias("child"), F.col("gci_super").alias("parent"))
+    )
+    edges = stated.unionByName(gci_super_edges).filter(F.col("child") != F.col("parent")).distinct()
+
+    # ---- role hierarchy (tiny; A8) --------------------------------------
+    prop_closure = transitive_closure(ont.subprops)
+    role_sub_refl = prop_closure.select(
+        F.col("desc").alias("r_child"), F.col("anc").alias("r_parent")
+    )
+
+    pv_conj = _pv_conjuncts(ont).localCheckpoint(eager=True)
+    pv_names = ont.pvs.select("pv_id").distinct()
+    gci_names = ont.axioms.filter(F.col("is_gci")).select(F.col("sub_id").alias("gci_id")).distinct()
+
+    equiv_conj = (
+        ont.axioms.filter(F.col("is_equiv"))
+        .select("axiom_id", "sub_id", F.explode("rhs").alias("r"))
+        .select("axiom_id", "sub_id", F.col("r.kind").alias("kind"), F.col("r.ref_id").alias("cref"))
+        .localCheckpoint(eager=True)
+    )
+
+    # chains: r∘s ⊑ t, plus transitivity as r∘r ⊑ r
+    chains = ont.role_chains.unionByName(
+        ont.transitive_roles.select(
+            F.col("role_id").alias("super_role"),
+            F.col("role_id").alias("left_role"),
+            F.col("role_id").alias("right_role"),
+        )
+    ).localCheckpoint(eager=True)
+    simple_pvs = ont.pvs.filter(F.col("filler_concept").isNotNull()).select(
+        "pv_id", "role_id", "filler_concept"
+    ).localCheckpoint(eager=True)
+
+    closure = transitive_closure(edges)
+    for _ in range(max_fixpoint_rounds):
+        new_edges_parts = []
+
+        # ---- R-pv: pv1 ⊑ pv2 ---------------------------------------------
+        # role compatibility: equal or (role1 ⊑ role2) via prop closure
+        p1r = pv_conj.select(F.col("pv_id").alias("pv1"), F.col("role_id").alias("role1")).distinct()
+        p2r = pv_conj.select(F.col("pv_id").alias("pv2"), F.col("role_id").alias("role2")).distinct()
+        role_pairs = p1r.join(p2r, F.col("role1") == F.col("role2")).select("pv1", "pv2").unionByName(
+            p1r.join(role_sub_refl, F.col("role1") == F.col("r_child"))
+            .join(p2r, F.col("r_parent") == F.col("role2"))
+            .select("pv1", "pv2")
+        ).filter(F.col("pv1") != F.col("pv2")).distinct()
+        covered = _covered_pairs(
+            pv_conj.select(F.col("pv_id").alias("pv1"), "cref"),
+            pv_conj.select(F.col("pv_id").alias("pv2"), "cref"),
+            closure,
+            "pv1",
+            "pv2",
+        )
+        pv_edges = (
+            role_pairs.join(covered, (role_pairs.pv1 == covered.L) & (role_pairs.pv2 == covered.R), "left_semi")
+            .select(F.col("pv1").alias("child"), F.col("pv2").alias("parent"))
+        )
+        new_edges_parts.append(pv_edges)
+
+        # ---- R-equiv: X ⊑ A for A ≡ C1⊓…⊓Cn -------------------------------
+        eq_covered = _covered_pairs(
+            closure.select(F.col("desc").alias("X"), F.col("anc").alias("cref")).unionByName(
+                equiv_conj.select(F.col("cref").alias("X"), F.col("cref"))
+            ).withColumnRenamed("X", "xid").select(F.col("xid"), F.col("cref")),
+            equiv_conj.select(F.col("axiom_id"), F.col("cref")),
+            # closure already folded into the left side above → pass empty
+            closure.limit(0),
+            "xid",
+            "axiom_id",
+        )
+        eq_edges = (
+            eq_covered.join(
+                ont.axioms.filter(F.col("is_equiv")).select("axiom_id", "sub_id"),
+                eq_covered.R == F.col("axiom_id"),
+            )
+            .filter(F.col("L") != F.col("sub_id"))
+            .select(F.col("L").alias("child"), F.col("sub_id").alias("parent"))
+        )
+        new_edges_parts.append(eq_edges)
+
+        # ---- R-chain: existential propagation onto named PVs --------------
+        if not chains.isEmpty():
+            refl = F.lit(True)
+            # X ⊑* pv1  (X may be pv1 itself via stated edge chain: use closure ∪ identity)
+            below_pv1 = closure.select(F.col("desc").alias("X"), F.col("anc").alias("pv1id")).unionByName(
+                simple_pvs.select(F.col("pv_id").alias("X"), F.col("pv_id").alias("pv1id"))
+            )
+            step1 = below_pv1.join(
+                simple_pvs.select(F.col("pv_id").alias("pv1id"), F.col("role_id").alias("r1"), F.col("filler_concept").alias("f1")),
+                "pv1id",
+            )
+            # r1 ⊑* left_role
+            r1_ok = step1.join(
+                chains.select("super_role", F.col("left_role"), F.col("right_role")),
+                (F.col("r1") == F.col("left_role")),
+            ).unionByName(
+                step1.join(role_sub_refl, F.col("r1") == F.col("r_child"))
+                .join(chains, F.col("r_parent") == F.col("left_role"))
+                .drop("r_child", "r_parent")
+            )
+            # F1 ⊑* pv2 (simple)
+            step2 = r1_ok.join(
+                closure.select(F.col("desc").alias("f1"), F.col("anc").alias("pv2id")), "f1"
+            ).join(
+                simple_pvs.select(F.col("pv_id").alias("pv2id"), F.col("role_id").alias("r2"), F.col("filler_concept").alias("g")),
+                "pv2id",
+            )
+            r2_ok = step2.filter(F.col("r2") == F.col("right_role")).unionByName(
+                step2.join(
+                    role_sub_refl,
+                    (F.col("r2") == F.col("r_child")) & (F.col("right_role") == F.col("r_parent")),
+                    "left_semi",
+                )
+            )
+            # target named pv: role ⊒* super_role? exact super_role with filler ⊒* g
+            g_up = r2_ok.select("X", "super_role", "g").unionByName(
+                r2_ok.join(closure.select(F.col("desc").alias("g"), F.col("anc").alias("g2")), "g")
+                .select("X", "super_role", F.col("g2").alias("g"))
+            )
+            chain_edges = g_up.join(
+                simple_pvs.select(F.col("pv_id").alias("tgt"), F.col("role_id").alias("super_role"), F.col("filler_concept").alias("g")),
+                ["super_role", "g"],
+            ).select(F.col("X").alias("child"), F.col("tgt").alias("parent"))
+            new_edges_parts.append(chain_edges)
+
+        new_edges = new_edges_parts[0]
+        for p in new_edges_parts[1:]:
+            new_edges = new_edges.unionByName(p)
+        new_edges = (
+            new_edges.filter(F.col("child") != F.col("parent"))
+            .distinct()
+            .join(closure, (F.col("child") == closure.desc) & (F.col("parent") == closure.anc), "left_anti")
+        )
+        new_edges = new_edges.localCheckpoint(eager=True)
+        if new_edges.isEmpty():
+            break
+        closure = transitive_closure(
+            new_edges.select("child", "parent"), seed_closure=closure
+        )
+    else:
+        raise RuntimeError("classify: rule fixpoint did not converge")
+
+    # equivalence-cycle detection (A4): reference assumes none for SCT
+    # (OntologyReasoningService.java:142).  Fail fast if violated.
+    cyc = closure.join(
+        closure.select(F.col("desc").alias("y_desc"), F.col("anc").alias("y_anc")),
+        (F.col("desc") == F.col("y_anc")) & (F.col("anc") == F.col("y_desc")),
+        "left_semi",
+    )
+    if not cyc.isEmpty():
+        raise ValueError("equivalent-class cycle detected; unsupported (reference assumes none)")
+
+    closure = closure.localCheckpoint(eager=True)
+    direct = derive_direct_edges(closure).localCheckpoint(eager=True)
+    non_primitive = (
+        ont.axioms.filter(F.col("is_equiv")).select(F.col("sub_id").alias("id"))
+        .unionByName(pv_names.select(F.col("pv_id").alias("id")))
+        .distinct()
+    )
+    return Classified(
+        closure=closure,
+        direct=direct,
+        non_primitive=non_primitive.localCheckpoint(eager=True),
+        prop_closure=prop_closure.localCheckpoint(eager=True),
+        pv_names=pv_names.localCheckpoint(eager=True),
+        gci_names=gci_names.localCheckpoint(eager=True),
+    )

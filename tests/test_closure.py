@@ -1,0 +1,141 @@
+"""Closure kernel tests: semi-naive closure, direct edges, PV/equiv rules.
+
+Models the reference's ELK usage (OntologyReasoningService.java:25-29)
+on the dummy CI fixture plus synthetic chain/diamond shapes."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from subont import fixtures
+from subont.closure import classify, derive_direct_edges, transitive_closure
+from subont.model import And, OntologyBuilder, Some, pv_id_for
+from subont.reduce import eliminate_stronger, eliminate_weaker
+
+
+def _pairs(df, a="desc", b="anc"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_transitive_closure_chain(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "child long, parent long")
+    clo = transitive_closure(edges)
+    assert _pairs(clo) == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+
+
+def test_transitive_closure_incremental(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "child long, parent long")
+    clo = transitive_closure(edges)
+    more = spark.createDataFrame([(3, 4)], "child long, parent long")
+    clo2 = transitive_closure(more, seed_closure=clo)
+    assert _pairs(clo2) == {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (3, 4)}
+
+
+def test_direct_edges_skip_shortcuts(spark):
+    # diamond with a redundant shortcut 1->4
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (1, 4)], "child long, parent long"
+    )
+    clo = transitive_closure(edges)
+    direct = derive_direct_edges(clo)
+    assert _pairs(direct, "child", "parent") == {(1, 2), (1, 3), (2, 4), (3, 4)}
+
+
+def test_classify_dummy_fixture(spark):
+    ont = fixtures.dummy_ontology(spark)
+    cl = classify(ont)
+    pv_outer = pv_id_for(Some(609096000, Some(363698007, 113331007)))
+    pv_inner = pv_id_for(Some(363698007, 113331007))
+    pairs = _pairs(cl.closure)
+    # focus concept below its stated conjuncts and their ancestors
+    assert (362969004, 404684003) in pairs
+    assert (362969004, 138875005) in pairs
+    assert (362969004, pv_outer) in pairs
+    # pv1 not an ancestor of the focus concept (different role)
+    assert (362969004, pv_inner) not in pairs
+    # direct parents of focus: stated conjuncts only
+    direct = _pairs(cl.direct.filter(F.col("child") == 362969004), "child", "parent")
+    assert direct == {(362969004, 404684003), (362969004, pv_outer)}
+    # primitivity: 362969004 defined (equivalence), others primitive
+    nonprim = {r["id"] for r in cl.non_primitive.collect()}
+    assert 362969004 in nonprim
+    assert 404684003 not in nonprim
+    assert pv_outer in nonprim  # PV names are never primitive
+
+
+def test_pv_subsumption_rule(spark):
+    # role s ⊑ r, filler D ⊑ C  ⟹  (∃s.D) ⊑ (∃r.C); classes below the
+    # specific PV must rank below the general PV too.
+    b = OntologyBuilder()
+    b.add_subclass(10, Some(200, 2))   # 10 ⊑ ∃s.D
+    b.add_subclass(11, Some(100, 1))   # 11 ⊑ ∃r.C
+    b.add_subclass(2, 1)               # D ⊑ C
+    b.add_subproperty(200, 100)        # s ⊑ r
+    cl = classify(b.build(spark))
+    pv_specific = pv_id_for(Some(200, 2))
+    pv_general = pv_id_for(Some(100, 1))
+    pairs = _pairs(cl.closure)
+    assert (pv_specific, pv_general) in pairs
+    assert (10, pv_general) in pairs
+    assert (11, pv_specific) not in pairs
+
+
+def test_equiv_intersection_rule(spark):
+    # A ≡ B ⊓ ∃r.C ; X ⊑ B, X ⊑ ∃r.C  ⟹  X ⊑ A
+    b = OntologyBuilder()
+    b.add_equiv(5, And([1, Some(100, 2)]))
+    b.add_subclass(9, And([1, Some(100, 2)]))
+    cl = classify(b.build(spark))
+    assert (9, 5) in _pairs(cl.closure)
+
+
+def test_equiv_intersection_via_stronger_filler(spark):
+    # X ⊑ B' ⊑ B and X ⊑ ∃r.C' with C' ⊑ C  ⟹  X ⊑ A ≡ B ⊓ ∃r.C
+    b = OntologyBuilder()
+    b.add_equiv(5, And([1, Some(100, 2)]))
+    b.add_subclass(8, 1)               # B' ⊑ B
+    b.add_subclass(3, 2)               # C' ⊑ C
+    b.add_subclass(9, And([8, Some(100, 3)]))
+    cl = classify(b.build(spark))
+    assert (9, 5) in _pairs(cl.closure)
+
+
+def test_chain_propagation_transitive_role(spark):
+    # r transitive: X ⊑ ∃r.F, F ⊑ ∃r.G ⟹ X ⊑ ∃r.G (named)
+    b = OntologyBuilder()
+    b.add_subclass(10, Some(100, 20))
+    b.add_subclass(20, Some(100, 30))
+    b.add_subclass(11, Some(100, 30))  # names ∃r.G
+    b.transitive_roles.add(100)
+    cl = classify(b.build(spark))
+    pv_rg = pv_id_for(Some(100, 30))
+    assert (10, pv_rg) in _pairs(cl.closure)
+
+
+def test_gci_name_ranking(spark):
+    # GCI: B ⊓ ∃r.C ⊑ A.  X ⊑ B, X ⊑ ∃r.C ⟹ X ⊑ GCI_name ⊑ A.
+    b = OntologyBuilder()
+    b.add_gci(And([1, Some(100, 2)]), 7)
+    b.add_subclass(9, And([1, Some(100, 2)]))
+    ont = b.build(spark)
+    cl = classify(ont)
+    gci_name = ont.axioms.filter("is_gci").select("sub_id").head()[0]
+    pairs = _pairs(cl.closure)
+    assert (9, gci_name) in pairs
+    assert (9, 7) in pairs
+
+
+def test_eliminate_weaker_and_stronger(spark):
+    closure = transitive_closure(
+        spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "child long, parent long")
+    )
+    cand = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 11)], "set_id long, cls long"
+    )
+    weaker_removed = {
+        (r["set_id"], r["cls"]) for r in eliminate_weaker(cand, closure).collect()
+    }
+    assert weaker_removed == {(0, 1), (1, 2), (1, 11)}
+    stronger_removed = {
+        (r["set_id"], r["cls"]) for r in eliminate_stronger(cand, closure).collect()
+    }
+    assert stronger_removed == {(0, 3), (1, 2), (1, 11)}
