@@ -136,23 +136,47 @@ class And:
 Expr = Union[int, Some, And]
 
 
-def _canon(expr: Expr) -> str:
-    if isinstance(expr, int):
-        return f"c{expr}"
-    if isinstance(expr, Some):
-        return f"some({expr.role},{_canon(expr.filler)})"
-    if isinstance(expr, And):
-        return "and(" + ",".join(sorted(_canon(m) for m in expr.members)) + ")"
-    raise TypeError(type(expr))
+def _ref_token(kind: str, ref_id: int) -> str:
+    return f"{kind}{ref_id}"
 
 
-def pv_id_for(expr: Some) -> int:
-    return _hash60("pv|" + _canon(expr))
+def _sorted_tokens(refs: list[tuple[str, int]]) -> list[str]:
+    """Canonical conjunct order: concepts before PVs, numeric ascending.
+
+    The SAME ordering must be reproducible from (kind, id) pairs alone on
+    executors (definitions._rebuild_role_groups re-mints group ids
+    distributed), hence id-based tokens rather than structural strings.
+    """
+    return [_ref_token(k, r) for k, r in sorted(refs, key=lambda kr: (kr[0], kr[1]))]
 
 
-def gci_id_for(conjuncts: Sequence[Expr], super_id: int) -> int:
-    canon = ",".join(sorted(_canon(c) for c in conjuncts))
-    return _hash60(f"gci|{super_id}|{canon}")
+def pv_hash_input(role: int, refs: list[tuple[str, int]]) -> str:
+    return f"pv|{role}|" + "&".join(_sorted_tokens(refs))
+
+
+def pv_id_for(expr: "Some") -> int:
+    """Content-hash id of a (possibly nested) restriction, bottom-up."""
+    if isinstance(expr.filler, int):
+        refs = [("c", expr.filler)]
+    else:
+        members = expr.filler.members if isinstance(expr.filler, And) else [expr.filler]
+        refs = []
+        for m in members:
+            if isinstance(m, int):
+                refs.append(("c", m))
+            else:
+                refs.append(("p", pv_id_for(m)))
+    return _hash60(pv_hash_input(expr.role, refs))
+
+
+def gci_id_for(conjuncts: Sequence["Expr"], super_id: int) -> int:
+    refs = []
+    for c in conjuncts:
+        if isinstance(c, int):
+            refs.append(("c", c))
+        else:
+            refs.append(("p", pv_id_for(c)))
+    return _hash60(f"gci|{super_id}|" + "&".join(_sorted_tokens(refs)))
 
 
 @dataclass

@@ -1,0 +1,177 @@
+"""RF2-style triple materialization + sinks (SURVEY.md §2.1 S7-S9, P14-P15).
+
+``triples_from_nnf`` is the engine's core output reshape: NNF definition
+rows → (subj, pred, obj, rel_group) relationship rows, the exact content
+of the reference's sct2_Relationship_Snapshot file (RF2Printer.java:194-279
+via the owltoolkit axiom→relationship conversion):
+
+* named-class conjunct        → (cls, 116680003 |is a|, parent, 0)
+* ungrouped attribute ∃R.C    → (cls, R, C, 0)
+* role group RG(∃R.C ⊓ …)     → one numbered group per RG conjunct;
+                                 members share the group number
+* property definition r ⊑ s   → (r, 116680003, s, 0)
+
+Relationship ids are generated with row_number + a vectorized Verhoeff
+check digit (writers/VerhoeffCheck.java:27-55, SCTIDSource.java:15-19) —
+deterministic ordering, never monotonically_increasing_id (breaks
+resume/retry determinism at scale).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from .model import CORE_MODULE, INFERRED_RELATIONSHIP, IS_A, MODIFIER_SOME, ROLE_GROUP, Ontology
+
+
+def triples_from_nnf(nnf_rows: DataFrame, prop_defs: DataFrame, ont: Ontology) -> DataFrame:
+    """P14: (subj, pred, obj, rel_group) from NNF def rows + property defs.
+
+    Group numbering: dense_rank of the group PV id within each subject,
+    starting at 1 (ungrouped = 0) — deterministic under retries."""
+    isa = nnf_rows.filter(F.col("kind") == "c").select(
+        F.col("sub_id").alias("subj"),
+        F.lit(IS_A).cast("long").alias("pred"),
+        F.col("ref_id").alias("obj"),
+        F.lit(0).alias("rel_group"),
+    )
+    pv_rows = nnf_rows.filter(F.col("kind") == "p").join(
+        ont.pvs.withColumnRenamed("pv_id", "ref_id"), "ref_id"
+    )
+    ungrouped = pv_rows.filter(
+        (F.col("role_id") != ROLE_GROUP) & F.col("filler_concept").isNotNull()
+    ).select(
+        F.col("sub_id").alias("subj"),
+        F.col("role_id").alias("pred"),
+        F.col("filler_concept").alias("obj"),
+        F.lit(0).alias("rel_group"),
+    )
+    groups = pv_rows.filter((F.col("role_id") == ROLE_GROUP) & F.col("filler_concept").isNull())
+    w = Window.partitionBy("sub_id").orderBy("ref_id")
+    groups = groups.withColumn("rel_group", F.dense_rank().over(w))
+    members = (
+        groups.select("sub_id", "rel_group", F.explode("filler_refs").alias("m"))
+        .filter(F.col("m.kind") == "p")
+        .join(
+            ont.pvs.select(
+                F.col("pv_id").alias("m_id"),
+                F.col("role_id").alias("m_role"),
+                F.col("filler_concept").alias("m_filler"),
+            ),
+            F.col("m.ref_id") == F.col("m_id"),
+        )
+        .filter(F.col("m_filler").isNotNull())
+        .select(
+            F.col("sub_id").alias("subj"),
+            F.col("m_role").alias("pred"),
+            F.col("m_filler").alias("obj"),
+            F.col("rel_group"),
+        )
+    )
+    # a role-group around a single bare nested PV (RG some (R some C))
+    # also yields one numbered group — same path (filler_refs size 1).
+    props = prop_defs.select(
+        F.col("child").alias("subj"),
+        F.lit(IS_A).cast("long").alias("pred"),
+        F.col("parent").alias("obj"),
+        F.lit(0).alias("rel_group"),
+    )
+    return isa.unionByName(ungrouped).unionByName(members).unionByName(props).distinct()
+
+
+# --- Verhoeff check digit (public algorithm; tables mirror
+#     writers/VerhoeffCheck.java:27-55) --------------------------------------
+_D = [
+    [0, 1, 2, 3, 4, 5, 6, 7, 8, 9],
+    [1, 2, 3, 4, 0, 6, 7, 8, 9, 5],
+    [2, 3, 4, 0, 1, 7, 8, 9, 5, 6],
+    [3, 4, 0, 1, 2, 8, 9, 5, 6, 7],
+    [4, 0, 1, 2, 3, 9, 5, 6, 7, 8],
+    [5, 9, 8, 7, 6, 0, 4, 3, 2, 1],
+    [6, 5, 9, 8, 7, 1, 0, 4, 3, 2],
+    [7, 6, 5, 9, 8, 2, 1, 0, 4, 3],
+    [8, 7, 6, 5, 9, 3, 2, 1, 0, 4],
+    [9, 8, 7, 6, 5, 4, 3, 2, 1, 0],
+]
+_P = [
+    [0, 1, 2, 3, 4, 5, 6, 7, 8, 9],
+    [1, 5, 7, 6, 2, 8, 3, 0, 9, 4],
+    [5, 8, 0, 3, 7, 9, 6, 1, 4, 2],
+    [8, 9, 1, 6, 0, 4, 3, 5, 2, 7],
+    [9, 4, 5, 3, 1, 2, 6, 8, 7, 0],
+    [4, 2, 8, 6, 5, 7, 3, 9, 0, 1],
+    [2, 7, 9, 3, 8, 0, 6, 4, 1, 5],
+    [7, 0, 4, 6, 9, 1, 3, 2, 5, 8],
+    [0, 3, 5, 2, 1, 4, 8, 6, 9, 7],
+]
+_INV = [0, 4, 3, 2, 1, 5, 6, 7, 8, 9]
+
+
+def _verhoeff_digit(s: str) -> int:
+    c = 0
+    for i, ch in enumerate(reversed(s)):
+        c = _D[c][_P[(i + 1) % 8][int(ch)]]
+    return _INV[c]
+
+
+@F.pandas_udf(T.StringType())
+def verhoeff_udf(nums: pd.Series) -> pd.Series:  # pragma: no cover (executor)
+    return nums.map(lambda s: s + str(_verhoeff_digit(s)))
+
+
+def with_sctids(
+    triples: DataFrame,
+    namespace: int = 1000003,
+    partition: str = "02",
+    offset: int = 100,
+) -> DataFrame:
+    """P15: sequential id <offset+n><namespace><partition> + Verhoeff digit
+    (SCTIDSource.java:15-19; demo namespace per
+    SubOntologyRF2ConversionService.java:29).  Ids are throw-away per the
+    reference README.md:69; the deterministic orderBy makes them stable
+    across retries anyway."""
+    w = Window.orderBy("subj", "pred", "obj", "rel_group")
+    base = triples.withColumn("rn", F.row_number().over(w)).withColumn(
+        "id_body",
+        F.concat(
+            (F.col("rn") + F.lit(offset - 1)).cast("string"),
+            F.lit(str(namespace)),
+            F.lit(partition),
+        ),
+    )
+    return base.withColumn("rel_id", verhoeff_udf(F.col("id_body"))).drop("rn", "id_body")
+
+
+def relationship_rf2_rows(triples: DataFrame, effective_time: str = "") -> DataFrame:
+    """S8: full RF2 relationship rows with the reference's hard-coded
+    constants (RF2Printer.java:244-272)."""
+    return with_sctids(triples).select(
+        F.col("rel_id").alias("id"),
+        F.lit(effective_time).alias("effectiveTime"),
+        F.lit("1").alias("active"),
+        F.lit(str(CORE_MODULE)).alias("moduleId"),
+        F.col("subj").cast("string").alias("sourceId"),
+        F.col("obj").cast("string").alias("destinationId"),
+        F.col("rel_group").cast("string").alias("relationshipGroup"),
+        F.col("pred").cast("string").alias("typeId"),
+        F.lit(str(INFERRED_RELATIONSHIP)).alias("characteristicTypeId"),
+        F.lit(str(MODIFIER_SOME)).alias("modifierId"),
+    )
+
+
+def write_rf2_tsv(df: DataFrame, path: str) -> None:
+    """TSV snapshot sink (header, tab-separated — RF2Headers.java)."""
+    df.coalesce(1).write.mode("overwrite").option("sep", "\t").option("header", True).csv(path)
+
+
+def filter_rf2_by_signature(rf2: DataFrame, signature: DataFrame, id_col: str) -> DataFrame:
+    """S7: broadcast semi-join signature filter, the distributed form of
+    the reference's per-row LongOpenHashSet membership test
+    (RF2ExtractionWriter.java:94-149)."""
+    sig = signature.select(F.col("concept_id").cast("long").alias(id_col))
+    return rf2.join(F.broadcast(sig), id_col, "left_semi")
