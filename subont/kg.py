@@ -1,0 +1,104 @@
+"""Corpus → knowledge-graph triples, end to end (the north-rule pipeline).
+
+Stages (each one a resumable DataFrame job; lineage recorded by
+subont.lineage):
+
+1. extract   — pandas-UDF statement/mention detection + link scoring
+2. canon     — salted connected-components entity canonicalization
+3. assemble  — canonical statements → concept table + stated IS-A edge
+               table + attribute (PV-like) triples
+4. closure   — semi-naive transitive closure of IS-A (subont.closure)
+5. material  — RF2-style (subj, pred, obj, group) triple table:
+               direct (non-redundant) IS-A rows — the NNF 'nearest
+               parent' semantics of the reference
+               (DefinitionGeneratorNNF.java:24-78) — plus attribute rows
+               de-duplicated per (subj, role) to the most specific filler
+               (eliminateWeakerClasses applied to fillers,
+               OntologyReasoningService.java:143-157)
+
+Entity ids: content hashes (xxhash64 of canonical surface form) — stable
+across runs, partitions and resumes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .canon import canonicalize_statements, entity_id
+from .closure import derive_direct_edges, transitive_closure
+from .extract import extract_statements
+from .model import IS_A
+from .reduce import eliminate_weaker
+
+MENTIONS_PRED = 900000000000999999  # synthetic "mentioned-in" predicate id
+
+
+@dataclass
+class KGResult:
+    statements: DataFrame     # canonicalized statements
+    concepts: DataFrame       # (concept_id, ent)
+    isa_direct: DataFrame     # stated (child, parent) after canon
+    isa_closure: DataFrame    # (desc, anc)
+    triples: DataFrame        # (subj, pred, obj, rel_group)
+
+
+def role_id(col):
+    return F.xxhash64(F.concat(F.lit("role|"), col))
+
+
+def build_kg(spark: SparkSession, src: DataFrame, min_score: float = 0.5) -> KGResult:
+    stmts = extract_statements(src, min_score=min_score)
+    canon = canonicalize_statements(stmts).localCheckpoint(eager=True)
+
+    concepts = (
+        canon.select(F.col("arg1").alias("ent"))
+        .unionByName(canon.select(F.col("arg2").alias("ent")))
+        .distinct()
+        .withColumn("concept_id", entity_id(F.col("ent")))
+    )
+
+    isa_edges = (
+        canon.filter(F.col("stype") == "isa")
+        .select(entity_id(F.col("arg1")).alias("child"), entity_id(F.col("arg2")).alias("parent"))
+        .filter(F.col("child") != F.col("parent"))
+        .distinct()
+    )
+    closure = transitive_closure(isa_edges)
+    direct = derive_direct_edges(closure)
+
+    attr = (
+        canon.filter(F.col("stype") == "attr")
+        .select(
+            entity_id(F.col("arg1")).alias("subj"),
+            role_id(F.col("role")).alias("pred"),
+            entity_id(F.col("arg2")).alias("obj"),
+        )
+        .distinct()
+    )
+    # most-specific filler per (subj, pred): antichain reduction over the
+    # IS-A closure, the reference's PV redundancy elimination semantics
+    attr_reduced = eliminate_weaker(
+        attr.select(F.xxhash64("subj", "pred").alias("set_id"), F.col("obj").alias("cls"), "subj", "pred"),
+        closure,
+    ).select("subj", "pred", F.col("cls").alias("obj"))
+
+    triples = (
+        direct.select(
+            F.col("child").alias("subj"),
+            F.lit(IS_A).cast("long").alias("pred"),
+            F.col("parent").alias("obj"),
+            F.lit(0).alias("rel_group"),
+        )
+        .unionByName(attr_reduced.withColumn("rel_group", F.lit(0)))
+        .distinct()
+    )
+    return KGResult(
+        statements=canon,
+        concepts=concepts,
+        isa_direct=isa_edges,
+        isa_closure=closure,
+        triples=triples,
+    )
