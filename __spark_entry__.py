@@ -1,38 +1,619 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``    — flagship corpus→KG query on sf0.001 (mention detection →
+               entity linking → hierarchy closure → triple materialize).
+``queries``  — one entry per implemented operator family (SURVEY.md §2 +
+               the training-data operators), each with a DuckDB oracle in
+               ``oracle_sql`` unless genuinely non-SQL-expressible.
+
+Engine-portability discipline (so value hashes match):
+ * money/value aggregates go through DECIMAL(18,x) per-row casts (exact
+   in both engines), final cast to double;
+ * ratios are single IEEE double divisions;
+ * hashes are md5 hex (identical in both engines);
+ * dot products are explicit left-associative term sums over
+   element_at (1-based in both engines);
+ * every computed column is aliased identically on both sides.
+
+Relational queries share ONE SQL string run verbatim by both engines.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+GAZ = ["spark", "join", "merge", "window", "hash", "scan", "filter", "sort"]
+
+# fixed literal query vector / centroids for ANN (data-independent,
+# identical literals in both engines)
+QVEC = [round(math.sin(i + 1), 6) for i in range(64)]
+CENTROIDS = {c: [round(math.cos((i + 1) * (c + 2)), 6) for i in range(64)] for c in range(4)}
+
+
+def _views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _sql(q: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _views(spark, sf_dir)
+        return spark.sql(q)
+
+    return run
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Shared SQL (runs verbatim in Spark AND DuckDB)
+# ---------------------------------------------------------------------------
+
+Q1 = """
+SELECT l_returnflag, l_linestatus,
+       cast(sum(cast(l_quantity as decimal(18,2))) as double)      AS sum_qty,
+       cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_base,
+       cast(sum(cast(l_extendedprice as decimal(18,2))
+                * (1 - cast(l_discount as decimal(18,2)))) as double) AS sum_disc,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+Q3 = """
+SELECT o.o_orderkey AS orderkey,
+       cast(sum(cast(l.l_extendedprice as decimal(18,2))
+                * (1 - cast(l.l_discount as decimal(18,2)))) as double) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey
+ORDER BY revenue DESC, orderkey
+LIMIT 10
+"""
+
+Q_SEMI = """
+SELECT o_orderkey, o_custkey
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+"""
+
+Q_ANTI = """
+SELECT c_custkey
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+Q_OUTER = """
+SELECT n.n_name AS nation_name,
+       count(c.c_custkey) AS n_cust,
+       cast(sum(cast(coalesce(c.c_acctbal, 0) as decimal(18,2))) as double) AS total_bal
+FROM nation n
+LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+Q_SETOPS = """
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000
+"""
+
+Q_DISTINCT = """
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+"""
+
+Q_WINDOW = """
+SELECT o_custkey, o_orderkey, pos
+FROM (
+    SELECT o_custkey, o_orderkey,
+           cast(row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) as bigint) AS pos
+    FROM orders
+) t
+WHERE pos <= 3
+"""
+
+Q_EVENTS = """
+SELECT event_type,
+       date_trunc('hour', ts) AS hour_ts,
+       count(*) AS n_events,
+       cast(sum(cast(value as decimal(18,4))) as double) AS sum_value
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+# recursive-closure oracle over a forest derived from orders keys
+_EDGES_SQL = "SELECT o_orderkey AS child, o_orderkey // 10 AS parent FROM orders WHERE o_orderkey >= 10"
+_CLO_CTE = f"""
+WITH RECURSIVE edges AS ({_EDGES_SQL}),
+clo AS (
+    SELECT child AS desc_id, parent AS anc_id FROM edges
+    UNION
+    SELECT c.desc_id, e.parent AS anc_id FROM clo c JOIN edges e ON c.anc_id = e.child
+)
+"""
+
+_SHORTCUT_EDGES_SQL = (
+    "SELECT o_orderkey AS child, o_orderkey // 10 AS parent FROM orders WHERE o_orderkey >= 10 "
+    "UNION SELECT o_orderkey AS child, o_orderkey // 100 AS parent FROM orders "
+    "WHERE o_orderkey >= 100 AND o_orderkey % 3 = 0"
+)
+_CLO2_CTE = f"""
+WITH RECURSIVE edges AS ({_SHORTCUT_EDGES_SQL}),
+clo AS (
+    SELECT child AS desc_id, parent AS anc_id FROM edges
+    UNION
+    SELECT c.desc_id, e.parent AS anc_id FROM clo c JOIN edges e ON c.anc_id = e.child
+)
+"""
+
+ORACLE_CLOSURE = _CLO_CTE + "SELECT desc_id, anc_id FROM clo WHERE desc_id <> anc_id"
+
+ORACLE_DIRECT = _CLO2_CTE + """
+SELECT desc_id AS child, anc_id AS parent FROM clo c1
+WHERE desc_id <> anc_id AND NOT EXISTS (
+    SELECT 1 FROM clo a JOIN clo b ON a.anc_id = b.desc_id
+    WHERE a.desc_id = c1.desc_id AND b.anc_id = c1.anc_id
+          AND a.anc_id <> a.desc_id AND b.anc_id <> b.desc_id
+)
+"""
+
+ORACLE_DESCENDANTS = _CLO_CTE + """
+SELECT DISTINCT desc_id FROM clo WHERE anc_id BETWEEN 1 AND 9 AND desc_id <> anc_id
+"""
+
+_CAND_SQL = "SELECT o_custkey % 10 AS set_id, o_orderkey AS cls FROM orders WHERE o_orderkey % 97 = 0"
+ORACLE_ANTICHAIN = _CLO_CTE + f""",
+cand AS ({_CAND_SQL})
+SELECT set_id, cls FROM cand c
+WHERE NOT EXISTS (
+    SELECT 1 FROM clo JOIN cand o ON o.cls = clo.desc_id AND o.set_id = c.set_id
+    WHERE clo.anc_id = c.cls AND clo.desc_id <> clo.anc_id
+)
+"""
+
+_GAZ_IN = ", ".join(f"'{g}'" for g in GAZ)
+
+ORACLE_MENTIONS = f"""
+SELECT DISTINCT doc_id, mention FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS mention FROM documents
+) t WHERE mention IN ({_GAZ_IN})
+"""
+
+ORACLE_TOKEN_STATS = """
+SELECT doc_id,
+       cast(len(string_split(text, ' ')) as bigint) AS n_tokens,
+       cast(len(list_distinct(string_split(text, ' '))) as bigint) AS n_distinct
+FROM documents
+"""
+
+ORACLE_QUALITY = """
+SELECT doc_id,
+       cast(len(list_distinct(string_split(text, ' '))) as double)
+           / cast(len(string_split(text, ' ')) as double) AS diversity,
+       cast(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) as double)
+           / cast(len(string_split(text, ' ')) as double) AS stopword_ratio
+FROM documents
+"""
+
+ORACLE_LANG_ID = """
+SELECT doc_id,
+       CASE WHEN cast(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) as double)
+                 / cast(len(string_split(text, ' ')) as double) > 0.05
+            THEN 'en' ELSE 'other' END AS predicted_lang
+FROM documents
+"""
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+FROM documents
+"""
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+ORACLE_JACCARD = """
+WITH toks AS (
+    SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM toks a JOIN toks b ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, inter, sa.sz + sb.sz - inter AS uni
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * 5 >= (sa.sz + sb.sz - inter) * 4
+"""
+
+_MH_COLS = ",\n       ".join(
+    f"min(md5(concat('s{i}|', tok))) AS mh{i}" for i in range(4)
+)
+ORACLE_MINHASH = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents
+)
+SELECT doc_id,
+       {_MH_COLS}
+FROM toks GROUP BY doc_id
+"""
+
+ORACLE_LSH = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents
+),
+sig AS (
+    SELECT doc_id,
+       {_MH_COLS}
+    FROM toks GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, 0 AS band, md5(concat(mh0, '|', mh1)) AS bkey FROM sig
+    UNION ALL
+    SELECT doc_id, 1 AS band, md5(concat(mh2, '|', mh3)) AS bkey FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+"""
+
+
+def _hex4_sql(col_expr: str) -> str:
+    terms = [
+        f"(instr('0123456789abcdef', substring({col_expr}, {i}, 1)) - 1) * {16 ** (4 - i)}"
+        for i in range(1, 5)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_BIT_SUMS = ",\n       ".join(
+    f"sum(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(16)
+)
+_BIT_RECOMBINE = " + ".join(f"(CASE WHEN b{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(16))
+ORACLE_SIMHASH = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents
+),
+hv AS (SELECT doc_id, {_hex4_sql("substring(md5(tok), 1, 4)")} AS hv FROM toks),
+bits AS (
+    SELECT doc_id,
+       {_BIT_SUMS}
+    FROM hv GROUP BY doc_id
+)
+SELECT doc_id, cast({_BIT_RECOMBINE} as bigint) AS simhash FROM bits
+"""
+
+
+def _dot_sql(col: str, vec: list[float]) -> str:
+    # DuckDB list indexing (1-based); the Spark side uses element_at
+    # (also 1-based) in subont.ann with the same literals and term order.
+    terms = [f"(cast(list_extract({col}, {i + 1}) as double) * {v!r})" for i, v in enumerate(vec)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _norm_sql(col: str, dim: int) -> str:
+    terms = [
+        f"(cast(list_extract({col}, {i + 1}) as double) * cast(list_extract({col}, {i + 1}) as double))"
+        for i in range(dim)
+    ]
+    return "sqrt(" + " + ".join(terms) + ")"
+
+
+def _cos_sql(col: str, vec: list[float]) -> str:
+    qn = math.sqrt(sum(v * v for v in vec))
+    return f"({_dot_sql(col, vec)} / ({_norm_sql(col, len(vec))} * {qn!r}))"
+
+
+ORACLE_ANN_TOPK = f"""
+SELECT vec_id, rank FROM (
+    SELECT vec_id,
+           cast(row_number() OVER (ORDER BY {_cos_sql("embedding", QVEC)} DESC, vec_id) as bigint) AS rank
+    FROM embeddings
+) t WHERE rank <= 10
+"""
+
+_IVF_CASE = (
+    "CASE "
+    + " ".join(
+        "WHEN "
+        + " AND ".join(
+            f"(c{cid} {'>=' if cid < other else '>'} c{other})"
+            for other in sorted(CENTROIDS)
+            if other != cid
+        )
+        + f" THEN {cid}"
+        for cid in sorted(CENTROIDS)
+    )
+    + " END"
+)
+ORACLE_IVF = (
+    "SELECT vec_id, cast(" + _IVF_CASE + " as bigint) AS cluster FROM (SELECT vec_id, "
+    + ", ".join(f"{_cos_sql('embedding', vec)} AS c{cid}" for cid, vec in sorted(CENTROIDS.items()))
+    + " FROM embeddings) t"
+)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side callables for the non-shared-SQL operators
+# ---------------------------------------------------------------------------
+
+def _forest_edges(spark: SparkSession, sf_dir: str, shortcuts: bool = False) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    e = orders.filter(F.col("o_orderkey") >= 10).select(
+        F.col("o_orderkey").alias("child"), F.expr("o_orderkey div 10").alias("parent")
+    )
+    if shortcuts:
+        e = e.unionByName(
+            orders.filter((F.col("o_orderkey") >= 100) & (F.col("o_orderkey") % 3 == 0)).select(
+                F.col("o_orderkey").alias("child"), F.expr("o_orderkey div 100").alias("parent")
+            )
+        ).distinct()
+    return e
+
+
+def q_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from subont.closure import transitive_closure
+
+    clo = transitive_closure(_forest_edges(spark, sf_dir))
+    return clo.select(F.col("desc").alias("desc_id"), F.col("anc").alias("anc_id"))
+
+
+def q_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from subont.closure import derive_direct_edges, transitive_closure
+
+    clo = transitive_closure(_forest_edges(spark, sf_dir, shortcuts=True))
+    return derive_direct_edges(clo).select("child", "parent")
+
+
+def q_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from subont.closure import transitive_closure
+
+    clo = transitive_closure(_forest_edges(spark, sf_dir))
+    return (
+        clo.filter(F.col("anc").between(1, 9))
+        .select(F.col("desc").alias("desc_id"))
+        .distinct()
+    )
+
+
+def q_antichain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from subont.closure import transitive_closure
+    from subont.reduce import eliminate_weaker
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cand = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_custkey") % 10).alias("set_id"), F.col("o_orderkey").alias("cls")
+    )
+    clo = transitive_closure(_forest_edges(spark, sf_dir))
+    return eliminate_weaker(cand, clo)
+
+
+def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from subont.textops import gazetteer_mentions
+
+    return gazetteer_mentions(_docs(spark, sf_dir), GAZ)
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from subont.textops import token_stats
+
+    ts = token_stats(_docs(spark, sf_dir))
+    return ts.select("doc_id", F.col("n_tokens").cast("long"), F.col("n_distinct").cast("long"))
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from subont.textops import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from subont.textops import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from subont.textops import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from subont.textops import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from subont.textops import dedup_jaccard_pairs
+
+    return dedup_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from subont.textops import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir))
+
+
+def q_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from subont.textops import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from subont.textops import simhash16
+
+    return simhash16(_docs(spark, sf_dir))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from subont.ann import cosine_topk
+
+    return cosine_topk(_emb(spark, sf_dir), QVEC, 10).select(
+        "vec_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from subont.ann import ivf_assign
+
+    return ivf_assign(_emb(spark, sf_dir), CENTROIDS).select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster")
+    )
+
+
+def q_kg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline corpus→KG pipeline (rows-only check: canonicalization is
+    iterative connected components, not SQL-expressible)."""
+    from subont.corpus import synth_corpus
+    from subont.kg import build_kg
+
+    n = 20000 if sf_dir.rstrip("/").endswith("0.1") else 2000
+    src = synth_corpus(spark, n_files=n, n_concepts=max(50, n // 20))
+    return build_kg(spark, src).triples
+
+
+def q_subontology_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity extraction on the dummy CI fixture (rows-only:
+    validated structurally against the reference's golden triples in
+    tests/test_pipeline.py)."""
+    from subont import fixtures
+    from subont.kg import build_kg  # noqa: F401  (import kept light)
+    from subont.pipeline import compute_subontology
+    from subont.rf2 import triples_from_nnf
+
+    ont = fixtures.dummy_ontology(spark)
+    res = compute_subontology(spark, ont, [fixtures.FOCUS], compute_rf2=True)
+    return triples_from_nnf(res.nnf_rows, res.prop_defs, res.sub)
+
+
+# ---------------------------------------------------------------------------
+# Contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: documents → gazetteer mention detection
+    (Arrow pandas UDF) → entity link to a concept hierarchy → IS-A
+    closure → (subj, pred, obj) triples."""
+    sf_dir = "/root/testdata/sf0.001"
+    from subont.closure import transitive_closure
+    from subont.kg import MENTIONS_PRED
+    from subont.model import IS_A
+    from subont.textops import gazetteer_mentions
+
+    docs = _docs(spark, sf_dir)
+    mentions = gazetteer_mentions(docs, GAZ)
+    hierarchy = {  # tiny concept scheme over the corpus vocabulary
+        "join": "operator", "merge": "operator", "sort": "operator",
+        "filter": "operator", "scan": "operator", "window": "operator",
+        "hash": "function", "spark": "system",
+        "operator": "thing", "function": "thing", "system": "thing",
+    }
+    cid = lambda c: F.xxhash64(F.concat(F.lit("concept|"), c))  # noqa: E731
+    edges = spark.createDataFrame(list(hierarchy.items()), "c string, p string").select(
+        cid(F.col("c")).alias("child"), cid(F.col("p")).alias("parent")
+    )
+    closure = transitive_closure(edges)
+    doc_triples = mentions.select(
+        F.xxhash64(F.concat(F.lit("doc|"), F.col("doc_id").cast("string"))).alias("subj"),
+        F.lit(MENTIONS_PRED).alias("pred"),
+        cid(F.col("mention")).alias("obj"),
+    )
+    isa_triples = closure.select(
+        F.col("desc").alias("subj"), F.lit(IS_A).cast("long").alias("pred"), F.col("anc").alias("obj")
+    )
+    return doc_triples.unionByName(isa_triples).distinct()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core (shared-SQL)
+        "q1_pricing_summary": _sql(Q1),
+        "q3_top_orders": _sql(Q3),
+        "semi_join_orders": _sql(Q_SEMI),
+        "anti_join_customers": _sql(Q_ANTI),
+        "outer_join_nation_counts": _sql(Q_OUTER),
+        "set_ops_except": _sql(Q_SETOPS),
+        "distinct_order_attrs": _sql(Q_DISTINCT),
+        "window_top_orders": _sql(Q_WINDOW),
+        "events_hourly_rollup": _sql(Q_EVENTS),
+        # graph/closure kernels (A1-A6, S5)
+        "isa_closure": q_closure,
+        "direct_edges": q_direct,
+        "descendants_expansion": q_descendants,
+        "antichain_reduction": q_antichain,
+        # text / KG operators
+        "mention_extract": q_mentions,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_jaccard,
+        "minhash_signatures": q_minhash,
+        "minhash_lsh_pairs": q_lsh,
+        "simhash": q_simhash,
+        # similarity search
+        "ann_cosine_topk": q_ann_topk,
+        "ann_ivf_assign": q_ivf,
+        # end-to-end pipelines (rows-only)
+        "kg_corpus_triples": q_kg_corpus,
+        "subontology_fixture_triples": q_subontology_fixture,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": Q1,
+        "q3_top_orders": Q3,
+        "semi_join_orders": Q_SEMI,
+        "anti_join_customers": Q_ANTI,
+        "outer_join_nation_counts": Q_OUTER,
+        "set_ops_except": Q_SETOPS,
+        "distinct_order_attrs": Q_DISTINCT,
+        "window_top_orders": Q_WINDOW,
+        "events_hourly_rollup": Q_EVENTS,
+        "isa_closure": ORACLE_CLOSURE,
+        "direct_edges": ORACLE_DIRECT,
+        "descendants_expansion": ORACLE_DESCENDANTS,
+        "antichain_reduction": ORACLE_ANTICHAIN,
+        "mention_extract": ORACLE_MENTIONS,
+        "token_stats": ORACLE_TOKEN_STATS,
+        "quality_score": ORACLE_QUALITY,
+        "lang_id": ORACLE_LANG_ID,
+        "doc_fingerprint": ORACLE_FINGERPRINT,
+        "dedup_exact": ORACLE_DEDUP_EXACT,
+        "dedup_jaccard": ORACLE_JACCARD,
+        "minhash_signatures": ORACLE_MINHASH,
+        "minhash_lsh_pairs": ORACLE_LSH,
+        "simhash": ORACLE_SIMHASH,
+        "ann_cosine_topk": ORACLE_ANN_TOPK,
+        "ann_ivf_assign": ORACLE_IVF,
+        # kg_corpus_triples / subontology_fixture_triples: rows-only
+    }

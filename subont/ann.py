@@ -1,0 +1,80 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline; IVF-style bucketed
+assignment is the scale path (search only the best cluster's bucket).
+
+Portability discipline for the DuckDB oracles: all dot products are
+expanded to an explicit left-associative 64-term sum over
+``element_at`` (1-based in both engines) with every operand cast to
+double first — bit-identical IEEE evaluation order in both engines, so
+even ranking comparisons are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot_expr(col: str, vec: list[float]) -> str:
+    """Left-associative explicit dot-product SQL (portable)."""
+    terms = [
+        f"(cast(element_at({col}, {i + 1}) as double) * {v!r})" for i, v in enumerate(vec)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _norm_expr(col: str, dim: int) -> str:
+    terms = [
+        f"(cast(element_at({col}, {i + 1}) as double) * cast(element_at({col}, {i + 1}) as double))"
+        for i in range(dim)
+    ]
+    return "sqrt(" + " + ".join(terms) + ")"
+
+
+def cosine_expr(col: str, vec: list[float]) -> str:
+    qnorm = sum(v * v for v in vec) ** 0.5
+    return f"({_dot_expr(col, vec)} / ({_norm_expr(col, len(vec))} * {qnorm!r}))"
+
+
+def query_vector(embeddings: DataFrame, vec_id: int = 0) -> list[float]:
+    row = embeddings.filter(F.col("vec_id") == vec_id).select("embedding").head()
+    return [float(x) for x in row[0]]
+
+
+def cosine_topk(embeddings: DataFrame, qvec: list[float], k: int = 10) -> DataFrame:
+    """Brute-force cosine top-k: (vec_id, rank).  Deterministic
+    tie-break on vec_id (exact-precision portable arithmetic makes even
+    the ranking engine-identical)."""
+    scored = embeddings.withColumn("cos", F.expr(cosine_expr("embedding", qvec)))
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank")
+    )
+
+
+def ivf_assign(embeddings: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
+    """IVF bucket assignment: nearest centroid by cosine (argmax via a
+    portable greatest/CASE cascade).  At scale, queries probe only their
+    bucket — the shuffle partitions by cluster."""
+    cols = {cid: F.expr(cosine_expr("embedding", vec)) for cid, vec in centroids.items()}
+    df = embeddings
+    for cid, e in cols.items():
+        df = df.withColumn(f"c{cid}", e)
+    best = None
+    for cid in sorted(cols):
+        # ≥ vs later ids, strict > vs earlier ids → ties go to the
+        # lowest centroid id, deterministically
+        conds = [
+            (F.col(f"c{cid}") >= F.col(f"c{other}")) if cid < other else (F.col(f"c{cid}") > F.col(f"c{other}"))
+            for other in sorted(cols)
+            if other != cid
+        ]
+        allc = conds[0]
+        for c in conds[1:]:
+            allc = allc & c
+        best = F.when(allc, F.lit(cid)) if best is None else best.when(allc, F.lit(cid))
+    return df.select("vec_id", best.alias("cluster"))

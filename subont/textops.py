@@ -1,0 +1,205 @@
+"""Text-analysis + deduplication operators for training-data pipelines.
+
+All operators are shaped for the driver's ``documents(doc_id, text,
+lang, source, n_chars)`` table and have exact DuckDB SQL oracles in
+``__spark_entry__.oracle_sql`` — every formula below is chosen to be
+bit-reproducible across engines (md5 hex, integer arithmetic, IEEE
+single-division doubles; never engine-specific hashing).
+
+Scale notes: the pairwise Jaccard join is quadratic per blocking key and
+exists as the small-scale exact baseline; MinHash-LSH banding is the
+100 TB path (pairs only within hash buckets).  Tokenization runs in an
+Arrow-vectorized mapInPandas pass (mention detection) or JVM-side
+``split`` (counting/fingerprints) — no per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+GAZETTEER = ["spark", "join", "merge", "window", "hash", "scan", "filter", "sort"]
+STOPWORDS = ["the", "a"]
+MINHASH_SEEDS = 4
+
+
+def gazetteer_mentions(docs: DataFrame, gazetteer: list[str] | None = None) -> DataFrame:
+    """Concept-mention detection over document text: Arrow-batched
+    pandas scan (the reference's new-engine mention operator,
+    SURVEY.md §2.7).  Returns distinct (doc_id, mention)."""
+    gaz = set(gazetteer or GAZETTEER)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("mention", T.StringType(), False),
+        ]
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = pdf["text"].str.split(" ")
+            ex = pdf[["doc_id"]].join(toks.rename("mention")).explode("mention")
+            ex = ex[ex["mention"].isin(gaz)]
+            yield ex.drop_duplicates()
+
+    return docs.select("doc_id", "text").mapInPandas(scan, schema).distinct()
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct) — whitespace token counting."""
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Quality scoring: lexical-diversity and stopword ratios (single
+    IEEE divisions → engine-exact)."""
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return docs.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double")).alias(
+            "diversity"
+        ),
+        (n_stop.cast("double") / F.size(toks).cast("double")).alias("stopword_ratio"),
+    )
+
+
+def lang_id(docs: DataFrame, threshold: float = 0.05) -> DataFrame:
+    """Heuristic language ID: English stopword density."""
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+        "double"
+    ) / F.size(toks).cast("double")
+    return docs.select(
+        "doc_id",
+        F.when(ratio > F.lit(threshold), F.lit("en")).otherwise(F.lit("other")).alias(
+            "predicted_lang"
+        ),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct token set
+    (order-normalized content hash)."""
+    toks = F.array_sort(F.array_distinct(F.split(F.col("text"), " ")))
+    return docs.select("doc_id", F.md5(F.concat_ws(" ", toks)).alias("fp"))
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup: md5(text) hash-groupBy; keeper = min doc_id."""
+    return (
+        docs.select(F.md5(F.col("text")).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_dups"))
+    )
+
+
+def _doc_tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
+    )
+
+
+def dedup_jaccard_pairs(docs: DataFrame, num: int = 4, den: int = 5) -> DataFrame:
+    """Exact n-gram(1) Jaccard near-dup pairs with threshold num/den,
+    tested in INTEGER arithmetic (den·|∩| ≥ num·|∪|) — no float
+    comparison.  Blocked by lang.  Quadratic per block: the exact
+    baseline; use MinHash-LSH at scale."""
+    toks = _doc_tokens(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("l"), "tok")
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("l"), "tok")
+    inter = (
+        a.join(b, ["l", "tok"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = _doc_tokens(docs).groupBy("doc_id").agg(F.count("*").alias("sz"))
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .filter(F.col("inter") * F.lit(den) >= F.col("uni") * F.lit(num))
+        .select("doc_a", "doc_b", "inter", "uni")
+    )
+    return out
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_SEEDS) -> DataFrame:
+    """MinHash over the distinct token set: mh_i = min(md5('s<i>|'+tok))
+    — md5-hex min is engine-portable (lexicographic on hex strings)."""
+    toks = _doc_tokens(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("tok")))).alias(f"mh{i}") for i in range(k)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_SEEDS, bands: int = 2) -> DataFrame:
+    """LSH banding: candidate pairs sharing ≥1 band of the signature.
+    This is the scale path for near-dup detection: pairs are generated
+    only inside hash buckets (shuffle on band key, never all-pairs)."""
+    sig = minhash_signatures(docs, k)
+    rows_per_band = k // bands
+    parts = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
+        parts.append(
+            sig.select(
+                "doc_id", F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bkey")
+            )
+        )
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
+    b2 = banded.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
+    return (
+        a.join(b2, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def _hex4_to_int(col_expr: str) -> str:
+    """Portable hex→int for a 4-char hex column expression: identical
+    SQL math in Spark and DuckDB (instr/strpos both 1-based)."""
+    terms = []
+    for i in range(1, 5):
+        terms.append(
+            f"(instr('0123456789abcdef', substring({col_expr}, {i}, 1)) - 1) * {16 ** (4 - i)}"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def simhash16(docs: DataFrame) -> DataFrame:
+    """16-bit SimHash over distinct tokens: per-token value = first 16
+    bits of md5; bit j of the sketch is set iff more tokens have bit j
+    set than unset.  Pure integer arithmetic → portable."""
+    toks = _doc_tokens(docs).withColumn(
+        "hv", F.expr(_hex4_to_int("substring(md5(tok), 1, 4)"))
+    )
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when((F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)).alias(f"b{j}")
+            for j in range(16)
+        ]
+    )
+    sim = None
+    for j in range(16):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bit_sums.select("doc_id", sim.cast("long").alias("simhash"))
