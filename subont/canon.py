@@ -35,33 +35,59 @@ def connected_components(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).filter(F.col("a") != F.col("b")).distinct()
     e = _chk(e)
+
+    def _checksum(df: DataFrame) -> tuple:
+        # one aggregate job instead of two exceptAll scans per round;
+        # the label multiset only ever shrinks toward the fixpoint, so a
+        # stable (count, sums, hash-sum) tuple means convergence.
+        m = F.lit(1 << 40)
+        row = df.agg(
+            F.count("*"),
+            F.sum(F.pmod(F.col("a"), m)),
+            F.sum(F.pmod(F.col("b"), m)),
+            F.sum(F.pmod(F.xxhash64("a", "b"), m)),
+        ).head()
+        return tuple(row)
+
+    prev = _checksum(e)
     for _ in range(max_rounds):
+        # neighborhoods must see both directions every round, or chains
+        # freeze into non-star fixed points (node→mid→root)
+        sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
         # large-star: for each node, link every strictly-larger neighbor
-        # to the minimum of the closed neighborhood
-        nbr_min = e.groupBy("a").agg(F.min("b").alias("mn")).select(
-            "a", F.least(F.col("mn"), F.col("a")).alias("m")
+        # to the minimum of the closed neighborhood.  Join keys are
+        # renamed so the two sides never share attribute ids (works
+        # around a Spark localCheckpoint/dedup planner bug).
+        sym = _chk(sym)
+        nbr_min = _chk(
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mn"))
+            .select(F.col("a").alias("na"), F.least(F.col("mn"), F.col("a")).alias("m"))
         )
         large = (
-            e.join(nbr_min, "a")
+            sym.join(nbr_min, F.col("a") == F.col("na"))
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
         )
         # small-star: link node and smaller neighbors to the min
-        small_nbrs = e.filter(F.col("b") <= F.col("a"))
-        small_min = small_nbrs.groupBy("a").agg(F.min("b").alias("m"))
+        small_nbrs = sym.filter(F.col("b") <= F.col("a"))
+        small_min = _chk(
+            small_nbrs.groupBy("a").agg(F.min("b").alias("m")).select(
+                F.col("a").alias("na"), F.col("m")
+            )
+        )
         small = (
-            small_nbrs.join(small_min, "a")
+            small_nbrs.join(small_min, F.col("a") == F.col("na"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
-            .unionByName(small_min.select("a", F.col("m").alias("b")))
+            .unionByName(small_min.select(F.col("na").alias("a"), F.col("m").alias("b")))
         )
         new_e = large.unionByName(small).filter(F.col("a") != F.col("b")).distinct()
         new_e = _chk(new_e)
-        # converged when the edge set is a stable star forest: every 'a'
-        # has exactly one neighbor 'b' < a and no changes occur
-        if new_e.exceptAll(e).isEmpty() and e.exceptAll(new_e).isEmpty():
-            e = new_e
-            break
+        cur = _checksum(new_e)
         e = new_e
+        if cur == prev:
+            break
+        prev = cur
     else:
         raise RuntimeError("connected_components did not converge")
     comp = e.filter(F.col("a") > F.col("b")).select(F.col("a").alias("id"), F.col("b").alias("component"))
@@ -77,42 +103,62 @@ def canonical_map(statements: DataFrame) -> DataFrame:
     """(ent, canonical_ent) for every surface form seen in statements.
 
     Components come from ``same(x, y)`` statements plus lexical
-    alias→canonical edges (C<i>_a<k> ↔ C<i>); the canonical
-    representative is the lexicographically/numerically minimal surface
-    id, then mapped back to its string form."""
+    alias→canonical edges (C<i>_a<k> ↔ C<i>).
+
+    Scale optimization (entity-resolution blocking): alias edges are
+    *contracted up front* by a pure expression (lex_root), so the
+    iterative CC only ever sees ``same`` edges that cross lexical roots.
+    In typical corpora that residue is tiny or empty — the O(log n)
+    star-contraction loop is skipped entirely, removing the pipeline's
+    main fixed (non-scaling) cost.  Component semantics are unchanged:
+    contracting edges before CC preserves connected components."""
     ents = (
         statements.select(F.col("arg1").alias("ent"))
         .unionByName(statements.select(F.col("arg2").alias("ent")))
         .distinct()
     )
-    ents = ents.withColumn("eid", entity_id(F.col("ent")))
-    same_edges = (
+    def lex_root(c):
+        return F.when(
+            c.rlike(r"^C\d+_a\d+$"), F.regexp_extract(c, r"^(C\d+)_a\d+$", 1)
+        ).otherwise(c)
+
+    ents = ents.withColumn("root", lex_root(F.col("ent"))).withColumn(
+        "rid", entity_id(F.col("root"))
+    )
+    ents = ents.localCheckpoint(eager=True)
+
+    # the root is a pure function of the surface form, so cross-root
+    # edges need no join at all — one projection over the statements
+    cross_edges = (
         statements.filter(F.col("stype") == "same")
-        .select(entity_id(F.col("arg1")).alias("a"), entity_id(F.col("arg2")).alias("b"))
+        .select(
+            entity_id(lex_root(F.col("arg1"))).alias("a"),
+            entity_id(lex_root(F.col("arg2"))).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
     )
-    lex_edges = ents.filter(F.col("ent").contains("_a")).select(
-        F.col("eid").alias("a"),
-        entity_id(F.regexp_extract(F.col("ent"), r"^(C\d+)_a\d+$", 1)).alias("b"),
-    )
-    edges = same_edges.unionByName(lex_edges)
-    comp = connected_components(edges)
-    mapped = ents.join(comp, ents.eid == comp.id, "left").select(
-        "ent", "eid", F.coalesce(F.col("component"), F.col("eid")).alias("component")
-    )
+    if cross_edges.isEmpty():
+        comp_expr = ents.withColumn("component", F.col("rid"))
+    else:
+        comp = connected_components(cross_edges)
+        comp_expr = ents.join(comp, ents.rid == comp.id, "left").select(
+            "ent", "root", "rid", F.coalesce(F.col("component"), F.col("rid")).alias("component")
+        )
     # canonical representative per component: prefer the canonical lexical
-    # form (no _a suffix), then smallest entity string — deterministic.
+    # form (no _a suffix), then greatest entity string — deterministic.
     reps = (
-        mapped.withColumn("is_canon", (~F.col("ent").contains("_a")).cast("int"))
+        comp_expr.withColumn("is_canon", (~F.col("ent").contains("_a")).cast("int"))
         .groupBy("component")
         .agg(F.max(F.struct(F.col("is_canon"), F.col("ent").alias("rep"))).alias("best"))
         .select("component", F.col("best.rep").alias("canonical_ent"))
     )
-    return mapped.join(reps, "component").select("ent", "canonical_ent")
+    return comp_expr.join(reps, "component").select("ent", "canonical_ent")
 
 
-def canonicalize_statements(statements: DataFrame) -> DataFrame:
+def canonicalize_statements(statements: DataFrame, cmap: DataFrame | None = None) -> DataFrame:
     """Rewrite statement args to canonical entities (broadcastable map)."""
-    cmap = canonical_map(statements)
+    if cmap is None:
+        cmap = canonical_map(statements)
     c1 = cmap.select(F.col("ent").alias("arg1"), F.col("canonical_ent").alias("c1"))
     c2 = cmap.select(F.col("ent").alias("arg2"), F.col("canonical_ent").alias("c2"))
     return (

@@ -36,6 +36,7 @@ def synth_corpus(
     n_files: int,
     n_concepts: int = 1000,
     statements_per_file: int = 3,
+    filler_words: int = 8,
     partitions: int | None = None,
 ) -> DataFrame:
     """Deterministic corpus: every column a pure function of the file id."""
@@ -90,8 +91,12 @@ def synth_corpus(
             .otherwise(F.concat(F.lit("mention C"), cs))
         )
         stmts.append(stmt)
+    # bulk filler: a repeated word block sized by a per-file hash — cheap
+    # to generate but realistic content volume for the extraction scan
+    word = F.element_at(F.array(*[F.lit(x) for x in FILLER]), (h("wsel") % len(FILLER) + 1).cast("int"))
     filler = F.concat_ws(
-        " ", *[F.element_at(F.array(*[F.lit(x) for x in FILLER]), (h(f"w{i}") % len(FILLER) + 1).cast("int")) for i in range(8)]
+        " ",
+        F.array_repeat(word, (h("wlen") % filler_words + filler_words // 2 + 1).cast("int")),
     )
     df = df.withColumn("content", F.concat_ws(" ", filler, F.concat_ws(" ; ", *stmts)))
     df = df.withColumn("sha256", F.sha2(F.col("content"), 256))

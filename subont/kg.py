@@ -27,7 +27,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .canon import canonicalize_statements, entity_id
+from .canon import canonical_map, canonicalize_statements, entity_id
 from .closure import derive_direct_edges, transitive_closure
 from .extract import extract_statements
 from .model import IS_A
@@ -50,8 +50,9 @@ def role_id(col):
 
 
 def build_kg(spark: SparkSession, src: DataFrame, min_score: float = 0.5) -> KGResult:
-    stmts = extract_statements(src, min_score=min_score)
-    canon = canonicalize_statements(stmts).localCheckpoint(eager=True)
+    stmts = extract_statements(src, min_score=min_score).localCheckpoint(eager=True)
+    cmap = canonical_map(stmts).localCheckpoint(eager=True)
+    canon = canonicalize_statements(stmts, cmap).localCheckpoint(eager=True)
 
     concepts = (
         canon.select(F.col("arg1").alias("ent"))

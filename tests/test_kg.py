@@ -44,15 +44,17 @@ def oracle(contents):
     uf = UF()
     for e in ents:
         mm = re.match(r"^(C\d+)_a\d+$", e)
-        if mm and mm.group(1) in ents:
-            uf.union(e, mm.group(1))
+        root = mm.group(1) if mm else e
+        # every surface form glues through its lexical root (virtual
+        # node), even if the root surface form is never mentioned
+        uf.union(e, "\x00root:" + root)
     for stype, a1, _, a2 in stmts:
         if stype == "same":
             uf.union(a1, a2)
     # canonical rep: prefer no-alias form, then max string (matches the
     # engine's (is_canon, ent) struct-max tie-break)
     groups = {}
-    for e in ents:
+    for e in ents:  # rep pool = mentioned surface forms only
         groups.setdefault(uf.find(e), []).append(e)
     rep = {}
     for members in groups.values():
@@ -131,3 +133,33 @@ def test_sha256_invariant(spark):
     bad2 = rp.filter(F.sha2(F.col("content"), 256) != F.col("sha256")).count()
     assert bad2 == 0
     assert rp.count() == 500
+
+
+def test_connected_components_direct(spark):
+    from subont.canon import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 5), (20, 3)], "a long, b long"
+    )
+    comp = {r.id: r.component for r in connected_components(edges).collect()}
+    assert comp[2] == 1 and comp[3] == 1 and comp[20] == 1
+    assert comp[11] == 10
+    assert 5 not in comp  # self-loop only → singleton
+
+
+def test_canonical_cross_root_same_edges(spark):
+    # a same() statement across different lexical roots must merge them
+    rows = [
+        ("r", "p", "c", "same", "C1_a0", None, "C2", 1.0),
+        ("r", "p", "c", "isa", "C2_a1", None, "C9", 1.0),
+    ]
+    from subont.extract import STATEMENT_SCHEMA
+    from subont.canon import canonical_map
+
+    st = spark.createDataFrame(rows, STATEMENT_SCHEMA)
+    cmap = {r.ent: r.canonical_ent for r in canonical_map(st).collect()}
+    # C1_a0, C2, C2_a1 all one component; rep prefers canonical form C2
+    assert cmap["C1_a0"] == "C2"
+    assert cmap["C2"] == "C2"
+    assert cmap["C2_a1"] == "C2"
+    assert cmap["C9"] == "C9"
