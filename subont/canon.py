@@ -159,8 +159,10 @@ def canonicalize_statements(statements: DataFrame, cmap: DataFrame | None = None
     """Rewrite statement args to canonical entities (broadcastable map)."""
     if cmap is None:
         cmap = canonical_map(statements)
-    c1 = cmap.select(F.col("ent").alias("arg1"), F.col("canonical_ent").alias("c1"))
-    c2 = cmap.select(F.col("ent").alias("arg2"), F.col("canonical_ent").alias("c2"))
+    # the entity map is orders of magnitude smaller than the statement
+    # stream — broadcast it so the 2 rewrites shuffle nothing
+    c1 = F.broadcast(cmap.select(F.col("ent").alias("arg1"), F.col("canonical_ent").alias("c1")))
+    c2 = F.broadcast(cmap.select(F.col("ent").alias("arg2"), F.col("canonical_ent").alias("c2")))
     return (
         statements.join(c1, "arg1", "left")
         .join(c2, "arg2", "left")

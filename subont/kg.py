@@ -103,3 +103,62 @@ def build_kg(spark: SparkSession, src: DataFrame, min_score: float = 0.5) -> KGR
         isa_closure=closure,
         triples=triples,
     )
+
+
+def build_kg_resumable(spark: SparkSession, src: DataFrame, workdir: str, min_score: float = 0.5):
+    """Checkpointed variant of build_kg: every stage goes through
+    subont.lineage.StageRunner — killed runs resume from the last
+    completed stage with identical output (content-hash ids).
+
+    Returns (triples DataFrame, StageRunner) — runner.metrics() has the
+    per-stage rows/wall/partition lineage."""
+    from .lineage import StageRunner
+
+    runner = StageRunner(spark, workdir)
+    stmts = runner.run("01_statements", lambda: extract_statements(src, min_score=min_score))
+    cmap = runner.run("02_canonical_map", lambda: canonical_map(stmts), ["01_statements"])
+    canon = runner.run(
+        "03_canon_statements", lambda: canonicalize_statements(stmts, cmap), ["01_statements", "02_canonical_map"]
+    )
+
+    def _closure():
+        isa = (
+            canon.filter(F.col("stype") == "isa")
+            .select(entity_id(F.col("arg1")).alias("child"), entity_id(F.col("arg2")).alias("parent"))
+            .filter(F.col("child") != F.col("parent"))
+            .distinct()
+        )
+        return transitive_closure(isa)
+
+    closure = runner.run("04_isa_closure", _closure, ["03_canon_statements"])
+
+    def _triples():
+        direct = derive_direct_edges(closure)
+        attr = (
+            canon.filter(F.col("stype") == "attr")
+            .select(
+                entity_id(F.col("arg1")).alias("subj"),
+                role_id(F.col("role")).alias("pred"),
+                entity_id(F.col("arg2")).alias("obj"),
+            )
+            .distinct()
+        )
+        attr_reduced = eliminate_weaker(
+            attr.select(
+                F.xxhash64("subj", "pred").alias("set_id"), F.col("obj").alias("cls"), "subj", "pred"
+            ),
+            closure,
+        ).select("subj", "pred", F.col("cls").alias("obj"))
+        return (
+            direct.select(
+                F.col("child").alias("subj"),
+                F.lit(IS_A).cast("long").alias("pred"),
+                F.col("parent").alias("obj"),
+                F.lit(0).alias("rel_group"),
+            )
+            .unionByName(attr_reduced.withColumn("rel_group", F.lit(0)))
+            .distinct()
+        )
+
+    triples = runner.run("05_triples", _triples, ["03_canon_statements", "04_isa_closure"])
+    return triples, runner
