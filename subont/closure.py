@@ -65,11 +65,16 @@ def transitive_closure(
     else:
         base = edges
     closure = _chk(base)
-    # hop relation: one-step edges plus (when incremental) the seed, which
-    # being transitively closed collapses multi-hop paths in one round.
+    # classic semi-naive: the frontier delta extends by ONE edge hop per
+    # round, so each round joins the (shrinking) delta against the small
+    # edge relation — never closure ⋈ closure, which squares the hub
+    # skew (SCT-top / mega-repo ancestors).  When incremental, the seed
+    # (already transitively closed) is folded into the hop once, so old
+    # multi-hop paths collapse in a single round.
     # Explicit column renames everywhere: self-joins on the same plan are
     # re-selected with fresh names to avoid expression-id ambiguity.
-    hop = closure.select(F.col("desc").alias("hop_desc"), F.col("anc").alias("hop_anc"))
+    hop = (seed_closure.select("desc", "anc").unionByName(edges).distinct() if seed_closure is not None else edges)
+    hop = hop.select(F.col("desc").alias("hop_desc"), F.col("anc").alias("hop_anc"))
     delta = closure
     for _ in range(max_rounds):
         delta = (
@@ -83,21 +88,27 @@ def transitive_closure(
         if delta.isEmpty():
             break
         closure = _chk(closure.unionByName(delta))
-        hop = closure.select(F.col("desc").alias("hop_desc"), F.col("anc").alias("hop_anc")) if seed_closure is None else hop
     else:
         raise RuntimeError("transitive_closure: max_rounds exceeded")
     return closure.filter(F.col("desc") != F.col("anc"))
 
 
-def derive_direct_edges(closure: DataFrame) -> DataFrame:
+def derive_direct_edges(closure: DataFrame, edges: DataFrame | None = None) -> DataFrame:
     """Direct ('told+inferred nearest') edges from a strict closure.
 
     anc is a *direct* parent of desc iff no z with desc ⊏ z ⊏ anc
     (A3 in SURVEY.md §2.2; ELK reasoner.getSuperClasses(cls, true)).
-    closure ⋈ closure on the mid node, then anti-join.
+
+    When the generating edge set is available, pairs-with-intermediate
+    are computed as closure ⋈ edges (sufficient: any ≥2-step pair has a
+    last-hop edge witness) — linear in |edges| instead of the
+    closure ⋈ closure square, and far lighter on hub-ancestor skew.
     """
+    if edges is not None:
+        b = edges.select(F.col("child").alias("b_desc"), F.col("parent").alias("b_anc"))
+    else:
+        b = closure.select(F.col("desc").alias("b_desc"), F.col("anc").alias("b_anc"))
     a = closure.select(F.col("desc").alias("a_desc"), F.col("anc").alias("a_anc"))
-    b = closure.select(F.col("desc").alias("b_desc"), F.col("anc").alias("b_anc"))
     with_mid = (
         a.join(b, F.col("a_anc") == F.col("b_desc"))
         .select(F.col("a_desc").alias("desc"), F.col("b_anc").alias("anc"))

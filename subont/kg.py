@@ -68,7 +68,7 @@ def build_kg(spark: SparkSession, src: DataFrame, min_score: float = 0.5) -> KGR
         .distinct()
     )
     closure = transitive_closure(isa_edges)
-    direct = derive_direct_edges(closure)
+    direct = derive_direct_edges(closure, edges=isa_edges)
 
     attr = (
         canon.filter(F.col("stype") == "attr")
@@ -133,7 +133,13 @@ def build_kg_resumable(spark: SparkSession, src: DataFrame, workdir: str, min_sc
     closure = runner.run("04_isa_closure", _closure, ["03_canon_statements"])
 
     def _triples():
-        direct = derive_direct_edges(closure)
+        isa = (
+            canon.filter(F.col("stype") == "isa")
+            .select(entity_id(F.col("arg1")).alias("child"), entity_id(F.col("arg2")).alias("parent"))
+            .filter(F.col("child") != F.col("parent"))
+            .distinct()
+        )
+        direct = derive_direct_edges(closure, edges=isa)
         attr = (
             canon.filter(F.col("stype") == "attr")
             .select(
