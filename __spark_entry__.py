@@ -21,7 +21,17 @@ Relational queries share ONE SQL string run verbatim by both engines.
 from __future__ import annotations
 
 import math
+import os
+import sys
 from collections.abc import Callable
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+# executor python workers inherit PYTHONPATH, not the driver's runtime
+# sys.path — needed so mapInPandas UDFs can import subont from any cwd
+if _REPO not in os.environ.get("PYTHONPATH", ""):
+    os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -22,6 +22,9 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
+# executor python workers inherit PYTHONPATH, not the driver's runtime
+# sys.path edits — required for mapInPandas UDFs that import subont
+os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 HEADLINE = [
     "q1_pricing_summary",
