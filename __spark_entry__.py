@@ -150,6 +150,30 @@ FROM events
 GROUP BY event_type, date_trunc('hour', ts)
 """
 
+# gap-based sessionization: 30-minute inactivity closes a session —
+# the streaming-style stateful rollup expressed with window functions
+Q_SESSIONIZE = """
+SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start
+FROM (
+  SELECT user_id, ts,
+         sum(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM (
+    SELECT user_id, event_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+  ) a
+) b
+GROUP BY user_id, session_id
+"""
+
+Q_MEDIAN = """
+SELECT event_type,
+       cast(count(*) as bigint) AS n,
+       median(value) AS med
+FROM events GROUP BY event_type
+"""
+
 # recursive-closure oracle over a forest derived from orders keys
 _EDGES_SQL = "SELECT o_orderkey AS child, o_orderkey // 10 AS parent FROM orders WHERE o_orderkey >= 10"
 _CLO_CTE = f"""
@@ -573,6 +597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_order_attrs": _sql(Q_DISTINCT),
         "window_top_orders": _sql(Q_WINDOW),
         "events_hourly_rollup": _sql(Q_EVENTS),
+        "events_sessionize": _sql(Q_SESSIONIZE),
+        "agg_median": _sql(Q_MEDIAN),
         # graph/closure kernels (A1-A6, S5)
         "isa_closure": q_closure,
         "direct_edges": q_direct,
@@ -609,6 +635,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_order_attrs": Q_DISTINCT,
         "window_top_orders": Q_WINDOW,
         "events_hourly_rollup": Q_EVENTS,
+        "events_sessionize": Q_SESSIONIZE,
+        "agg_median": Q_MEDIAN,
         "isa_closure": ORACLE_CLOSURE,
         "direct_edges": ORACLE_DIRECT,
         "descendants_expansion": ORACLE_DESCENDANTS,

@@ -675,13 +675,13 @@ def compute_subontology(
     sub_cl = classify(work_ont)
 
     # P11: shrink
-    sub_axioms = _shrink_hierarchy(
+    shrunk = _shrink_hierarchy(
         spark, sub_axioms, work_ont, sub_cl, focus, groupers_all, focus_axiom_ids
     )
-    work_ont = work_ont.with_axioms(sub_axioms)
-
-    # D13: NNF over the final subontology
-    sub_cl = classify(work_ont)
+    if shrunk is not sub_axioms:  # only re-classify if shrink changed anything
+        sub_axioms = shrunk
+        work_ont = work_ont.with_axioms(sub_axioms)
+        sub_cl = classify(work_ont)
     nnf_classes = work_ont.class_signature().withColumnRenamed("concept_id", "sub_id")
     nnf = nnf_definitions(work_ont, sub_cl, nnf_classes, options)
     sig_props = (
