@@ -155,6 +155,28 @@ class Classified:
             .distinct()
         )
 
+    def entails(self, pairs: DataFrame) -> DataFrame:
+        """A9: batched entailment — for (sub_id, super_id) rows, add an
+        ``entailed`` flag (reflexive ⊑ counts, like ELK isEntailed;
+        OntologyReasoningService.java:235-237)."""
+        hit = self.closure.select(
+            F.col("desc").alias("sub_id"), F.col("anc").alias("super_id")
+        ).withColumn("__hit", F.lit(True))
+        return (
+            pairs.join(hit, ["sub_id", "super_id"], "left")
+            .withColumn(
+                "entailed",
+                (F.col("sub_id") == F.col("super_id")) | F.coalesce(F.col("__hit"), F.lit(False)),
+            )
+            .drop("__hit")
+        )
+
+    def is_consistent(self) -> bool:
+        """V5: EL ontologies without ⊥-axioms are always consistent; the
+        check degenerates to the cycle assertion classify() already
+        enforces (tools/ConsistencyEntailmentChecker.java:16-45)."""
+        return True
+
 
 def _pv_conjuncts(ont: Ontology) -> DataFrame:
     """(pv_id, role_id, kind, cref): simple filler as a single 'c'

@@ -199,6 +199,13 @@ def _iri(cid: int) -> str:
 def render_axioms(ont: Ontology) -> list[str]:
     """Axiom rows → functional-syntax strings (driver-side; subontology
     axiom sets are small).  PV refs are expanded from the pvs table."""
+    return sorted(expr for _, expr in render_axiom_rows(ont))
+
+
+def render_axiom_rows(ont: Ontology) -> list[tuple[int, str]]:
+    """(referenced_component_id, functional-syntax axiom) pairs — the
+    referenced component of a GCI is its named RHS superclass, matching
+    the reference's OWL refset (OWLtoRF2Service.java:80-83)."""
     pvs = {r["pv_id"]: r.asDict() for r in ont.pvs.collect()}
 
     def ref_str(kind: str, rid: int) -> str:
@@ -217,11 +224,11 @@ def render_axioms(ont: Ontology) -> list[str]:
         parts = [ref_str(x["kind"], x["ref_id"]) for x in r["rhs"]]
         rhs = parts[0] if len(parts) == 1 else f"ObjectIntersectionOf({' '.join(parts)})"
         if r["is_gci"]:
-            out.append(f"SubClassOf({rhs} {_iri(r['gci_super'])})")
+            out.append((r["gci_super"], f"SubClassOf({rhs} {_iri(r['gci_super'])})"))
         elif r["is_equiv"]:
-            out.append(f"EquivalentClasses({_iri(r['sub_id'])} {rhs})")
+            out.append((r["sub_id"], f"EquivalentClasses({_iri(r['sub_id'])} {rhs})"))
         else:
-            out.append(f"SubClassOf({_iri(r['sub_id'])} {rhs})")
+            out.append((r["sub_id"], f"SubClassOf({_iri(r['sub_id'])} {rhs})"))
     for r in ont.subprops.collect():
-        out.append(f"SubObjectPropertyOf({_iri(r['child'])} {_iri(r['parent'])})")
-    return sorted(out)
+        out.append((r["child"], f"SubObjectPropertyOf({_iri(r['child'])} {_iri(r['parent'])})"))
+    return out

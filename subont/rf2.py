@@ -169,6 +169,25 @@ def write_rf2_tsv(df: DataFrame, path: str) -> None:
     df.coalesce(1).write.mode("overwrite").option("sep", "\t").option("header", True).csv(path)
 
 
+def owl_refset_rows(ont: Ontology, effective_time: str = "") -> DataFrame:
+    """S9: OWL-expression refset rows (refsetId 733073007) — one row per
+    axiom, expression rendered to functional syntax with ':'-prefixed
+    ids (OWLtoRF2Service.java:38-226).  Axiom sets are small next to the
+    corpus → driver-side render, parallelized back."""
+    from .owl_io import render_axiom_rows
+
+    spark = ont.axioms.sparkSession
+    rows = []
+    for i, (ref_id, expr) in enumerate(sorted(render_axiom_rows(ont), key=lambda p: p[1])):
+        compact = expr.replace("<http://snomed.info/id/", ":").replace(">", "")
+        rows.append((f"owlref-{i:06d}", effective_time, "1", str(CORE_MODULE), "733073007", str(ref_id), compact))
+    return spark.createDataFrame(
+        rows,
+        "id string, effectiveTime string, active string, moduleId string, "
+        "refsetId string, referencedComponentId string, owlExpression string",
+    )
+
+
 def filter_rf2_by_signature(rf2: DataFrame, signature: DataFrame, id_col: str) -> DataFrame:
     """S7: broadcast semi-join signature filter, the distributed form of
     the reference's per-row LongOpenHashSet membership test

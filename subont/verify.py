@@ -126,6 +126,24 @@ def verify_transitive_closure_equal(
     return only_src.unionByName(only_sub)
 
 
+def detect_complex_nesting(ont: Ontology) -> DataFrame:
+    """V4 (tools/CheckComplexNesting.java:40-111): flag PVs whose filler
+    nests another restriction OUTSIDE a role-group wrapper — the shape
+    the EL pipeline assumes away (max nesting RG(R some C)).
+    Returns offending (pv_id, role_id)."""
+    from .model import ROLE_GROUP
+
+    nested = (
+        ont.pvs.filter(F.col("filler_concept").isNull())
+        .select("pv_id", "role_id", F.explode("filler_refs").alias("r"))
+        .filter(F.col("r.kind") == "p")
+        .filter(F.col("role_id") != ROLE_GROUP)
+        .select("pv_id", "role_id")
+        .distinct()
+    )
+    return nested
+
+
 def verify_triple_integrity(triples: DataFrame, signature: DataFrame, roles: DataFrame) -> DataFrame:
     """V3: every obj and every non-IS-A pred of the emitted triples must
     be a signature concept / role.  Returns (entity_id, kind) orphans."""

@@ -90,3 +90,40 @@ def test_subset_expand_descendants(spark):
     }
     subset_file = load_subset(spark, SUBSET)
     assert [tuple(r) for r in subset_file.collect()] == [(362969004, False)]
+
+
+def test_owl_refset_rows_and_complex_nesting(spark):
+    from subont.rf2 import owl_refset_rows
+    from subont.verify import detect_complex_nesting
+
+    ont = load_functional(spark, OWL)
+    rows = owl_refset_rows(ont).collect()
+    assert len(rows) == 11  # 10 class axioms + 1 subproperty
+    by_ref = {r.referencedComponentId: r.owlExpression for r in rows}
+    assert by_ref["362969004"].startswith("EquivalentClasses(:362969004")
+    assert ":609096000" in by_ref["362969004"]
+    # V4: the dummy fixture's nested restriction is wrapped in the role
+    # grouper (609096000) → NOT flagged as complex
+    assert detect_complex_nesting(ont).isEmpty()
+    # a genuinely complex nesting is flagged
+    from subont.model import OntologyBuilder, Some
+
+    b = OntologyBuilder()
+    b.add_subclass(1, Some(100, Some(101, 2)))
+    flagged = detect_complex_nesting(b.build(spark))
+    assert flagged.count() == 1
+
+
+def test_entails_lookup(spark):
+    from subont.closure import classify
+
+    ont = load_functional(spark, OWL)
+    cl = classify(ont)
+    pairs = spark.createDataFrame(
+        [(362969004, 138875005), (362969004, 362969004), (138875005, 362969004)],
+        "sub_id long, super_id long",
+    )
+    got = {(r.sub_id, r.super_id): r.entailed for r in cl.entails(pairs).collect()}
+    assert got[(362969004, 138875005)] is True
+    assert got[(362969004, 362969004)] is True
+    assert got[(138875005, 362969004)] is False
