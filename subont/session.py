@@ -21,11 +21,13 @@ def get_spark(
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SUBONT_SHUFFLE_PARTITIONS", str(max(cores, 8))))
+    aqe = os.environ.get("SUBONT_AQE", "true")  # AQE off is faster for
+    # tiny-fixture sessions (per-job re-planning dominates µ-batches)
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
