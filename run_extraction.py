@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""CLI mirroring the reference's entry point (SubontologyExtraction.java:58-93).
+
+    spark-submit --py-files subont.zip run_extraction.py \
+        -source-ontology dummy.owl -input-subset subset.txt \
+        -output-rf2 -rf2-snapshot-dir snapshot/Terminology \
+        -output-path out/ [-verify-subontology]
+
+Differences from the reference, by design: the snapshot is a directory
+of TSVs (no zip handling); verification failures print diff rows and
+exit non-zero instead of writing report files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-source-ontology", dest="source_ontology", required=True)
+    ap.add_argument("-input-subset", dest="input_subset", required=True)
+    ap.add_argument("-output-path", dest="output_path", required=True)
+    ap.add_argument("-output-rf2", dest="output_rf2", action="store_true")
+    ap.add_argument("-rf2-snapshot-dir", dest="rf2_snapshot_dir", default=None)
+    ap.add_argument("-verify-subontology", dest="verify", action="store_true")
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from subont.owl_io import load_functional, render_axioms
+    from subont.pipeline import compute_subontology
+    from subont.rf2 import (
+        filter_rf2_by_signature,
+        owl_refset_rows,
+        relationship_rf2_rows,
+        triples_from_nnf,
+        write_rf2_tsv,
+    )
+    from subont.rf2_io import expand_subset, isa_pairs_from_relationships, load_subset, read_rf2_tsv
+    from subont.session import get_spark
+    from subont.verify import verify_focus_equivalence, verify_transitive_closure_equal
+
+    t0 = time.time()
+    spark = get_spark("subont-extraction", cores=args.cores)
+    ont = load_functional(spark, args.source_ontology)
+    subset = load_subset(spark, args.input_subset)
+
+    # << descendants expansion needs the snapshot's inferred IS-A rows
+    # (reference expands only when an RF2 archive is given,
+    # SubontologyExtraction.java:72-79)
+    if args.rf2_snapshot_dir and not subset.filter(F.col("with_descendants")).isEmpty():
+        rel_path = glob.glob(os.path.join(args.rf2_snapshot_dir, "sct2_Relationship_*"))[0]
+        pairs = isa_pairs_from_relationships(read_rf2_tsv(spark, rel_path, active_only=False))
+        focus = expand_subset(subset, pairs)
+    else:
+        focus = subset.select("concept_id")
+
+    res = compute_subontology(spark, ont, focus, compute_rf2=args.output_rf2)
+
+    os.makedirs(args.output_path, exist_ok=True)
+    with open(os.path.join(args.output_path, "subOntology.owl"), "w") as f:
+        for line in render_axioms(res.sub):
+            f.write(line + "\n")
+
+    if args.output_rf2:
+        triples = triples_from_nnf(res.nnf_rows, res.prop_defs, res.sub)
+        rf2_dir = os.path.join(args.output_path, "RF2", "Snapshot", "Terminology")
+        write_rf2_tsv(relationship_rf2_rows(triples), os.path.join(rf2_dir, "Relationship"))
+        write_rf2_tsv(owl_refset_rows(res.sub), os.path.join(rf2_dir, "OWLExpressionRefset"))
+        if args.rf2_snapshot_dir:
+            sig = res.sub.class_signature()
+            for pat, id_col, name in [
+                ("sct2_Concept_*", "id", "Concept"),
+                ("sct2_Description_*", "conceptId", "Description"),
+            ]:
+                hits = glob.glob(os.path.join(args.rf2_snapshot_dir, pat))
+                if hits:
+                    tbl = read_rf2_tsv(spark, hits[0])
+                    write_rf2_tsv(
+                        filter_rf2_by_signature(tbl, sig, id_col),
+                        os.path.join(rf2_dir, name),
+                    )
+
+    rc = 0
+    if args.verify:
+        d1 = verify_focus_equivalence(ont, res.src_cl, res.sub, res.sub_cl, res.focus)
+        d2 = verify_transitive_closure_equal(res.src_cl, res.sub_cl, res.sub.class_signature())
+        for name, d in [("V1 focus equivalence", d1), ("V2 closure equality", d2)]:
+            rows = d.collect()
+            if rows:
+                print(f"VERIFICATION FAILED — {name}:")
+                for r in rows[:50]:
+                    print("  ", r)
+                rc = 1
+            else:
+                print(f"verified: {name}")
+
+    print(f"done in {time.time() - t0:.1f}s → {args.output_path}")
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
