@@ -59,7 +59,7 @@ def main() -> int:
         "triples": n,
         "wall_sec": round(dt, 2),
         "triples_per_sec": round(n / dt, 1),
-        "stages": runner.metrics(),
+        "stages": runner.log,  # this run's view: resumed stages flagged
     }))
     return 0
 

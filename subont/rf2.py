@@ -165,8 +165,16 @@ def relationship_rf2_rows(triples: DataFrame, effective_time: str = "") -> DataF
 
 
 def write_rf2_tsv(df: DataFrame, path: str) -> None:
-    """TSV snapshot sink (header, tab-separated — RF2Headers.java)."""
-    df.coalesce(1).write.mode("overwrite").option("sep", "\t").option("header", True).csv(path)
+    """TSV snapshot sink (header, tab-separated — RF2Headers.java).
+    Empty fields stay empty (RF2 style), never quoted."""
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("sep", "\t")
+        .option("header", True)
+        .option("emptyValue", "")
+        .csv(path)
+    )
 
 
 def owl_refset_rows(ont: Ontology, effective_time: str = "") -> DataFrame:
