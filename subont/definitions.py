@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .closure import Classified
-from .model import ROLE_GROUP, Ontology, PVS_SCHEMA, REF_STRUCT
+from .model import Ontology, PVS_SCHEMA
 from .reduce import eliminate_weaker
 
 DEF_SCHEMA = T.StructType(

@@ -23,7 +23,6 @@ from pyspark.sql import types as T
 from .closure import Classified, classify, transitive_closure
 from .definitions import (
     DEF_SCHEMA,
-    Defs,
     RedundancyOptions,
     abstract_definitions,
     gci_authoring_definitions,
@@ -31,11 +30,9 @@ from .definitions import (
     property_definitions,
 )
 from .model import (
-    AXIOMS_SCHEMA,
     BROWSER_RF2_METADATA,
     DATA_ATTRIBUTE_TOP,
     OBJECT_ATTRIBUTE_TOP,
-    REF_STRUCT,
     SCT_TOP,
     Ontology,
     lit_concept_df,
