@@ -139,3 +139,13 @@ def test_eliminate_weaker_and_stronger(spark):
         (r["set_id"], r["cls"]) for r in eliminate_stronger(cand, closure).collect()
     }
     assert stronger_removed == {(0, 3), (1, 2), (1, 11)}
+
+
+def test_transitive_closure_deep_chain(spark):
+    # semi-naive hop = edges → rounds scale with depth; SNOMED-like
+    # depth (~40) must stay well inside max_rounds and stay correct
+    n = 40
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], "child long, parent long")
+    clo = transitive_closure(edges)
+    assert clo.count() == n * (n + 1) // 2
+    assert _pairs(clo.filter("desc = 0 and anc = 40")) == {(0, 40)}
