@@ -156,8 +156,8 @@ Q_SESSIONIZE = """
 SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start
 FROM (
   SELECT user_id, ts,
-         sum(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
-             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+         cast(sum(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) as bigint) AS session_id
   FROM (
     SELECT user_id, event_id, ts,
            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

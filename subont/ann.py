@@ -46,12 +46,20 @@ def query_vector(embeddings: DataFrame, vec_id: int = 0) -> list[float]:
 def cosine_topk(embeddings: DataFrame, qvec: list[float], k: int = 10) -> DataFrame:
     """Brute-force cosine top-k: (vec_id, rank).  Deterministic
     tie-break on vec_id (exact-precision portable arithmetic makes even
-    the ranking engine-identical)."""
+    the ranking engine-identical).
+
+    Scale shape: ``orderBy().limit(k)`` plans TakeOrderedAndProject — a
+    distributed per-partition top-k merged on the driver — instead of a
+    global unpartitioned window that would funnel every row through one
+    task.  The row_number window that assigns ranks afterwards sees at
+    most k rows (bounded by the limit, not by data size)."""
     scored = embeddings.withColumn("cos", F.expr(cosine_expr("embedding", qvec)))
-    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    topk = scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)
+    # constant partition key: input here is ≤k rows (post-limit), the
+    # explicit partitionBy documents that and keeps plans warning-free
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w))
         .select("vec_id", "rank")
     )
 

@@ -124,6 +124,37 @@ def verhoeff_udf(nums: pd.Series) -> pd.Series:  # pragma: no cover (executor)
     return nums.map(lambda s: s + str(_verhoeff_digit(s)))
 
 
+def _global_row_number(df: DataFrame, order_cols: list[str], out_col: str = "rn") -> DataFrame:
+    """Deterministic distributed 1-based global row numbering.
+
+    Two-phase scheme (no global single-partition window): range-partition
+    + sort on the order keys, count rows per partition (one metadata-sized
+    aggregate → driver array of cumulative offsets), then per-partition
+    ``row_number`` + the partition's offset.  Range partitions are ordered
+    by key, so offset+local_rank equals the global rank wherever the
+    sampled boundaries fall — stable under retries."""
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    ordered = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    ordered = ordered.localCheckpoint(eager=True)  # pin partition layout for both passes
+    counts = {r["_pid"]: r["n"] for r in ordered.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), F.col("_pid")
+    ) if offsets else F.lit(0)
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        ordered.withColumn(out_col, (F.row_number().over(w) + off_expr).cast("long"))
+        .drop("_pid")
+    )
+
+
 def with_sctids(
     triples: DataFrame,
     namespace: int = 1000003,
@@ -133,13 +164,17 @@ def with_sctids(
     """P15: sequential id <offset+n><namespace><partition> + Verhoeff digit
     (SCTIDSource.java:15-19; demo namespace per
     SubOntologyRF2ConversionService.java:29).  Ids are throw-away per the
-    reference README.md:69; the deterministic orderBy makes them stable
-    across retries anyway."""
-    w = Window.orderBy("subj", "pred", "obj", "rel_group")
-    base = triples.withColumn("rn", F.row_number().over(w)).withColumn(
+    reference README.md:69; the deterministic global numbering makes them
+    stable across retries anyway.  The reference's SCTIDSource
+    pre-increments, so the first id body is <offset+1> (item numbers start
+    at offset+rn, matching the reference's relationship-id sequence).
+
+    Scale: numbering is the two-phase partitioned scheme — no global
+    unpartitioned window single-tasking the relationship table."""
+    base = _global_row_number(triples, ["subj", "pred", "obj", "rel_group"]).withColumn(
         "id_body",
         F.concat(
-            (F.col("rn") + F.lit(offset - 1)).cast("string"),
+            (F.col("rn") + F.lit(offset)).cast("string"),
             F.lit(str(namespace)),
             F.lit(partition),
         ),
@@ -166,33 +201,65 @@ def relationship_rf2_rows(triples: DataFrame, effective_time: str = "") -> DataF
 
 def write_rf2_tsv(df: DataFrame, path: str) -> None:
     """TSV snapshot sink (header, tab-separated — RF2Headers.java).
-    Empty fields stay empty (RF2 style), never quoted."""
+    Empty fields stay empty (RF2 style) and values are NEVER quoted:
+    quote/escape are disabled so Description terms containing '"' are
+    emitted verbatim, matching the reference's raw tab-join output."""
     (
         df.coalesce(1)
         .write.mode("overwrite")
         .option("sep", "\t")
         .option("header", True)
         .option("emptyValue", "")
+        .option("quote", "\u0000")
+        .option("escape", "\u0000")
+        .option("quoteAll", False)
         .csv(path)
+    )
+
+
+# fixed namespace for deterministic member UUIDs (RFC 4122 NAMESPACE_URL)
+_UUID_NS_HEX = "6ba7b8119dad11d180b400c04fd430c8"
+
+
+def uuid5_col(name_col) -> F.Column:
+    """Deterministic RFC-4122 v5 UUID over a string column, computed
+    JVM-side: sha1(namespace_bytes ++ name), version nibble forced to 5,
+    variant bits to 10 — exactly python uuid.uuid5(NAMESPACE_URL, name)."""
+    h = F.sha1(F.concat(F.unhex(F.lit(_UUID_NS_HEX)), F.encode(name_col, "UTF-8")))
+    variant = F.lower(
+        F.conv((F.conv(F.substring(h, 17, 1), 16, 10).cast("int") % 4 + 8).cast("string"), 10, 16)
+    )
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.concat(F.lit("5"), F.substring(h, 14, 3)),
+        F.concat(variant, F.substring(h, 18, 3)),
+        F.substring(h, 21, 12),
     )
 
 
 def owl_refset_rows(ont: Ontology, effective_time: str = "") -> DataFrame:
     """S9: OWL-expression refset rows (refsetId 733073007) — one row per
     axiom, expression rendered to functional syntax with ':'-prefixed
-    ids (OWLtoRF2Service.java:38-226).  Axiom sets are small next to the
-    corpus → driver-side render, parallelized back."""
-    from .owl_io import render_axiom_rows
+    ids (OWLtoRF2Service.java:38-226).  Fully distributed: the render is
+    a bounded join fixpoint (owl_io.render_axioms_df) and member ids are
+    deterministic v5 UUIDs over the rendered expression (strict RF2
+    consumers expect UUID member ids; the reference generates random
+    UUIDs, we generate content-derived ones for retry-stability)."""
+    from .owl_io import render_axioms_df
 
-    spark = ont.axioms.sparkSession
-    rows = []
-    for i, (ref_id, expr) in enumerate(sorted(render_axiom_rows(ont), key=lambda p: p[1])):
-        compact = expr.replace("<http://snomed.info/id/", ":").replace(">", "")
-        rows.append((f"owlref-{i:06d}", effective_time, "1", str(CORE_MODULE), "733073007", str(ref_id), compact))
-    return spark.createDataFrame(
-        rows,
-        "id string, effectiveTime string, active string, moduleId string, "
-        "refsetId string, referencedComponentId string, owlExpression string",
+    compact = F.regexp_replace(
+        F.regexp_replace(F.col("expr"), "<http://snomed\\.info/id/", ":"), ">", ""
+    )
+    return render_axioms_df(ont).select(
+        uuid5_col(compact).alias("id"),
+        F.lit(effective_time).alias("effectiveTime"),
+        F.lit("1").alias("active"),
+        F.lit(str(CORE_MODULE)).alias("moduleId"),
+        F.lit("733073007").alias("refsetId"),
+        F.col("ref_id").cast("string").alias("referencedComponentId"),
+        compact.alias("owlExpression"),
     )
 
 

@@ -31,10 +31,15 @@ STATED = 900000000000010007
 def read_rf2_tsv(spark: SparkSession, path: str, active_only: bool = True) -> DataFrame:
     """S2: one RF2 snapshot TSV → DataFrame.  The active filter reaches
     the scan via predicate pushdown (verified in tests/test_plans.py)."""
+    # RF2 is raw tab-split: fields are never quoted and may legitimately
+    # contain double quotes (Description terms).  Disable quote handling
+    # (quote=NUL) so '"' passes through verbatim, matching the
+    # reference's line.split("\t") semantics.
     df = (
         spark.read.option("sep", "\t")
         .option("header", True)
         .option("inferSchema", False)
+        .option("quote", "\u0000")
         .csv(path)
     )
     if active_only and "active" in df.columns:
