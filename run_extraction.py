@@ -37,15 +37,15 @@ def main() -> int:
 
     from pyspark.sql import functions as F
 
-    from subont.owl_io import load_functional, render_axioms
+    from subont.owl_io import load_functional, render_annotations_df, render_axioms
     from subont.pipeline import compute_subontology
     from subont.rf2 import (
-        filter_rf2_by_signature,
         owl_refset_rows,
         relationship_rf2_rows,
         triples_from_nnf,
         write_rf2_tsv,
     )
+    from subont.rf2_extract import extract_rf2_snapshot, read_rf2_zip, write_owl_rf2_zip
     from subont.rf2_io import expand_subset, isa_pairs_from_relationships, load_subset, read_rf2_tsv
     from subont.session import get_spark
     from subont.verify import verify_focus_equivalence, verify_transitive_closure_equal
@@ -55,11 +55,18 @@ def main() -> int:
     ont = load_functional(spark, args.source_ontology)
     subset = load_subset(spark, args.input_subset)
 
+    # a zipped RF2 archive is accepted like the reference
+    # (SubontologyExtraction.java:72-79); exploded to a temp dir
+    snapshot_dir = args.rf2_snapshot_dir
+    if snapshot_dir and snapshot_dir.endswith(".zip"):
+        snapshot_dir = read_rf2_zip(spark, snapshot_dir)
+
     # << descendants expansion needs the snapshot's inferred IS-A rows
-    # (reference expands only when an RF2 archive is given,
-    # SubontologyExtraction.java:72-79)
-    if args.rf2_snapshot_dir and not subset.filter(F.col("with_descendants")).isEmpty():
-        rel_path = glob.glob(os.path.join(args.rf2_snapshot_dir, "sct2_Relationship_*"))[0]
+    if snapshot_dir and not subset.filter(F.col("with_descendants")).isEmpty():
+        rel_path = sorted(
+            glob.glob(os.path.join(snapshot_dir, "**", "sct2_Relationship_*"), recursive=True)
+            + glob.glob(os.path.join(snapshot_dir, "sct2_Relationship_*"))
+        )[0]
         pairs = isa_pairs_from_relationships(read_rf2_tsv(spark, rel_path, active_only=False))
         focus = expand_subset(subset, pairs)
     else:
@@ -69,7 +76,8 @@ def main() -> int:
 
     os.makedirs(args.output_path, exist_ok=True)
     with open(os.path.join(args.output_path, "subOntology.owl"), "w") as f:
-        for line in render_axioms(res.sub):
+        anno_lines = sorted(r["expr"] for r in render_annotations_df(res.sub).collect())
+        for line in render_axioms(res.sub) + anno_lines:
             f.write(line + "\n")
 
     if args.output_rf2:
@@ -77,19 +85,13 @@ def main() -> int:
         rf2_dir = os.path.join(args.output_path, "RF2", "Snapshot", "Terminology")
         write_rf2_tsv(relationship_rf2_rows(triples), os.path.join(rf2_dir, "Relationship"))
         write_rf2_tsv(owl_refset_rows(res.sub), os.path.join(rf2_dir, "OWLExpressionRefset"))
-        if args.rf2_snapshot_dir:
-            sig = res.sub.class_signature()
-            for pat, id_col, name in [
-                ("sct2_Concept_*", "id", "Concept"),
-                ("sct2_Description_*", "conceptId", "Description"),
-            ]:
-                hits = glob.glob(os.path.join(args.rf2_snapshot_dir, pat))
-                if hits:
-                    tbl = read_rf2_tsv(spark, hits[0])
-                    write_rf2_tsv(
-                        filter_rf2_by_signature(tbl, sig, id_col),
-                        os.path.join(rf2_dir, name),
-                    )
+        # browser RF2 from the subontology's labels/axioms (OWLtoRF2Service)
+        write_owl_rf2_zip(res.sub, os.path.join(args.output_path, "debug_OWLRefset.zip"))
+        if snapshot_dir:
+            # S7: full five-file signature-filtered extraction
+            extract_rf2_snapshot(
+                spark, snapshot_dir, res.entity_ids, os.path.join(args.output_path, "RF2")
+            )
 
     rc = 0
     if args.verify:

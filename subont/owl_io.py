@@ -342,11 +342,37 @@ def render_axiom_rows(ont: Ontology) -> list[tuple[int, str]]:
     return [(r["ref_id"], r["expr"]) for r in render_axioms_df(ont).collect()]
 
 
-def save_functional(ont: Ontology, path: str, sorted_output: bool = True) -> None:
+def render_annotations_df(ont: Ontology) -> DataFrame:
+    """(ref_id, expr) AnnotationAssertion lines — P12 output surface.
+    Values are escaped for functional syntax ("\\" and '"')."""
+    esc = F.regexp_replace(
+        F.regexp_replace(F.col("value"), "\\\\", "\\\\\\\\"), '"', '\\\\"'
+    )
+    return ont.annotations.select(
+        F.col("entity_id").alias("ref_id"),
+        F.concat(
+            F.lit("AnnotationAssertion("),
+            F.col("prop"),
+            F.lit(" "),
+            _iri_col(F.col("entity_id")),
+            F.lit(' "'),
+            esc,
+            F.lit('")'),
+        ).alias("expr"),
+    )
+
+
+def save_functional(
+    ont: Ontology, path: str, sorted_output: bool = True, with_annotations: bool = True
+) -> None:
     """S6 sink: write the ontology as an OWL functional-syntax document
     via a distributed text write (coalesce(1) for the single-document
-    shape; the render itself is distributed)."""
+    shape; the render itself is distributed).  Includes annotation
+    assertions (the reference's subOntology.owl carries transferred
+    labels + Focus/Supporting comments, handler :725-760)."""
     df = render_axioms_df(ont).select("expr")
+    if with_annotations:
+        df = df.unionByName(render_annotations_df(ont).select("expr"))
     if sorted_output:
         df = df.orderBy("expr")
     df.coalesce(1).write.mode("overwrite").text(path)

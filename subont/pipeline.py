@@ -94,6 +94,7 @@ class ExtractionResult:
     undefined: DataFrame          # (sub_id) classes with empty NNF
     src_cl: Classified
     sub_cl: Classified
+    entity_ids: DataFrame | None = None  # sub ∪ NNF signature ids (S7 gate)
 
 
 def _rule2_required(
@@ -285,6 +286,44 @@ def _expansion_loop(
             defs_to_axioms(acc_gci_rows, is_gci=True, gci_super=gci_super_map)
         )
     return _chk(sup_axioms), _chk(defined.withColumnRenamed("id", "concept_id")), new_pvs
+
+
+def _nnf_entity_ids(nnf_rows: DataFrame, prop_defs: DataFrame, ont: Ontology) -> DataFrame:
+    """Named entities (classes + properties) in the NNF ontology's
+    signature: definition subjects, concept conjuncts, PV roles and
+    fillers (recursively through nested PV refs), and the property-
+    definition endpoints — the reference's
+    nnfOntology.get*InSignature() union (SubOntologyRF2ConversionService
+    .java:42-49)."""
+    subs = nnf_rows.select(F.col("sub_id").alias("id"))
+    crefs = nnf_rows.filter(F.col("kind") == "c").select(F.col("ref_id").alias("id"))
+    pv_ids = nnf_rows.filter(F.col("kind") == "p").select(F.col("ref_id").alias("pv_id")).distinct()
+    parts = [subs, crefs,
+             prop_defs.select(F.col("child").alias("id")),
+             prop_defs.select(F.col("parent").alias("id"))]
+    for _ in range(8):
+        if pv_ids.isEmpty():
+            break
+        joined = pv_ids.join(ont.pvs, "pv_id")
+        parts.append(joined.select(F.col("role_id").alias("id")))
+        parts.append(
+            joined.filter(F.col("filler_concept").isNotNull()).select(
+                F.col("filler_concept").alias("id")
+            )
+        )
+        nested = joined.filter(F.col("filler_concept").isNull()).select(
+            F.explode("filler_refs").alias("r")
+        )
+        parts.append(
+            nested.filter(F.col("r.kind") == "c").select(F.col("r.ref_id").alias("id"))
+        )
+        pv_ids = nested.filter(F.col("r.kind") == "p").select(
+            F.col("r.ref_id").alias("pv_id")
+        ).distinct()
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out.filter(F.col("id") > 0).distinct()
 
 
 def _populate_rbox(ont: Ontology, sig_roles: DataFrame) -> DataFrame:
@@ -689,6 +728,41 @@ def compute_subontology(
     )
     prop_defs = property_definitions(work_ont, sig_props)
 
+    # P12: annotation transfer + Focus/Supporting tags
+    # (SubOntologyExtractionHandler.java:725-760): copy every source
+    # annotation whose entity is in the sub∪NNF signature, then tag each
+    # signature class with an rdfs:comment concept-type marker.
+    sub_classes = work_ont.class_signature()
+    entity_ids = _chk(
+        sub_classes.unionByName(sig_props.withColumnRenamed("role_id", "concept_id"))
+        .unionByName(
+            _nnf_entity_ids(nnf.rows, prop_defs, work_ont).withColumnRenamed("id", "concept_id")
+        )
+        .distinct()
+    )
+    transferred = ont.annotations.join(
+        entity_ids.withColumnRenamed("concept_id", "entity_id"), "entity_id", "left_semi"
+    )
+    tagged = (
+        sub_classes.join(
+            focus.withColumn("is_focus", F.lit(True)), "concept_id", "left"
+        )
+        .join(
+            defined_supporting.withColumn("is_defined_sup", F.lit(True)),
+            "concept_id",
+            "left",
+        )
+        .select(
+            F.col("concept_id").alias("entity_id"),
+            F.lit("rdfs:comment").alias("prop"),
+            F.when(F.col("is_focus"), F.lit("Focus concept"))
+            .when(F.col("is_defined_sup"), F.lit("Supporting concept (with definition)"))
+            .otherwise(F.lit("Supporting concept"))
+            .alias("value"),
+        )
+    )
+    work_ont = replace(work_ont, annotations=_chk(transferred.unionByName(tagged).distinct()))
+
     return ExtractionResult(
         sub=work_ont,
         nnf_rows=_chk(nnf.rows),
@@ -699,4 +773,5 @@ def compute_subontology(
         undefined=nnf.undefined,
         src_cl=src_cl,
         sub_cl=sub_cl,
+        entity_ids=entity_ids,
     )

@@ -81,9 +81,24 @@ def parse_subset_text(text: str) -> list[tuple[int, bool]]:
     return out
 
 
+def parse_subset_json(text: str) -> list[tuple[int, bool]]:
+    """S4 ``.json`` variant (InputSignatureHandler.readRefsetJson,
+    tools/InputSignatureHandler.java:81-96): the FIRST line is skipped
+    (header), every following non-blank line is one concept id verbatim;
+    no ``<<`` descendants flag in this format."""
+    out = []
+    for line in text.splitlines()[1:]:
+        line = line.strip()
+        if not line:
+            continue
+        out.append((int(line), False))
+    return out
+
+
 def load_subset(spark: SparkSession, path: str) -> DataFrame:
     with open(path, encoding="utf-8") as f:
-        rows = parse_subset_text(f.read())
+        text = f.read()
+    rows = parse_subset_json(text) if path.endswith(".json") else parse_subset_text(text)
     return spark.createDataFrame(rows, "concept_id long, with_descendants boolean")
 
 
