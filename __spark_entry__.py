@@ -341,6 +341,92 @@ SELECT doc_id, cast({_BIT_RECOMBINE} as bigint) AS simhash FROM bits
 """
 
 
+# ---------------------------------------------------------------------------
+# KG-pipeline oracle: the synthetic corpus plants statements via md5
+# arithmetic (subont.corpus.stmt_hash16), so DuckDB can recompute the
+# exact statement set and replay every downstream stage relationally:
+# lexical-root canonicalization, IS-A closure (recursive CTE), direct
+# edges, most-specific-filler reduction.
+# ---------------------------------------------------------------------------
+
+KG_N = 2000       # files at oracle scale (driver runs sf0.01)
+KG_NC = 100       # concepts = max(100, n // 20)
+
+
+def _kg_oracle_sql(n: int, nc: int) -> str:
+    def h16(salt: str) -> str:
+        return _hex4_sql(f"substring(md5('f' || cast(id as varchar) || '|{salt}' || cast(s as varchar)), 1, 4)")
+
+    return f"""
+WITH RECURSIVE slots AS (SELECT id, s FROM range(0, {n}) t(id), (SELECT unnest([0, 1, 2]) AS s)),
+hs AS (
+    SELECT id, s,
+           {h16('c')} % {nc} AS c,
+           {h16('k')} % 3 AS kind,
+           {h16('a')} % 3 AS al,
+           ({h16('a')} + 1) % 3 AS al2,
+           {h16('r')} % 4 AS role
+    FROM slots
+),
+st AS (
+    SELECT
+        CASE WHEN kind = 0 AND c >= 8 THEN 'isa'
+             WHEN kind = 1 THEN 'attr'
+             WHEN kind = 2 THEN 'same' END AS stype,
+        CASE WHEN kind = 0 AND c >= 8 THEN 'C' || cast(c as varchar) || '_a' || cast(al as varchar)
+             WHEN kind = 1 THEN 'C' || cast(c as varchar)
+             WHEN kind = 2 THEN 'C' || cast(c as varchar) || '_a' || cast(al as varchar) END AS arg1,
+        CASE WHEN kind = 1 THEN 'R' || cast(role as varchar) END AS role_s,
+        CASE WHEN kind = 0 AND c >= 8 THEN 'C' || cast(c // 8 as varchar)
+             WHEN kind = 1 THEN 'C' || cast((c * 7 + 13) % {nc} as varchar)
+             WHEN kind = 2 THEN 'C' || cast(c as varchar) || '_a' || cast(al2 as varchar) END AS arg2
+    FROM hs WHERE NOT (kind = 0 AND c < 8)
+),
+ents AS (
+    SELECT DISTINCT ent FROM (SELECT arg1 AS ent FROM st UNION SELECT arg2 FROM st)
+),
+rooted AS (
+    SELECT ent,
+           CASE WHEN regexp_matches(ent, '^C\\d+_a\\d+$')
+                THEN regexp_extract(ent, '^(C\\d+)_a\\d+$', 1) ELSE ent END AS root,
+           CASE WHEN ent NOT LIKE '%\\_a%' ESCAPE '\\' THEN '1' || ent ELSE '0' || ent END AS pref
+    FROM ents
+),
+reps AS (SELECT root, substring(max(pref), 2) AS rep FROM rooted GROUP BY root),
+cmap AS (SELECT r.ent AS ent, p.rep AS rep FROM rooted r JOIN reps p ON r.root = p.root),
+canon AS (
+    SELECT st.stype, c1.rep AS a1, st.role_s, c2.rep AS a2
+    FROM st JOIN cmap c1 ON st.arg1 = c1.ent JOIN cmap c2 ON st.arg2 = c2.ent
+),
+edges AS (SELECT DISTINCT a1 AS child, a2 AS parent FROM canon WHERE stype = 'isa' AND a1 <> a2),
+clo AS (
+    SELECT child AS dsc, parent AS anc FROM edges
+    UNION
+    SELECT c.dsc, e.parent AS anc FROM clo c JOIN edges e ON c.anc = e.child
+),
+direct_full AS (
+    SELECT dsc AS child, anc AS parent FROM clo t
+    WHERE NOT EXISTS (
+        SELECT 1 FROM clo a JOIN edges e ON a.anc = e.child
+        WHERE a.dsc = t.dsc AND e.parent = t.anc AND a.anc <> a.dsc
+    )
+),
+attrs AS (SELECT DISTINCT a1 AS subj, role_s, a2 AS obj FROM canon WHERE stype = 'attr'),
+attrs_reduced AS (
+    SELECT subj, role_s, obj FROM attrs t
+    WHERE NOT EXISTS (
+        SELECT 1 FROM attrs o JOIN clo ON clo.dsc = o.obj AND clo.anc = t.obj
+        WHERE o.subj = t.subj AND o.role_s = t.role_s AND clo.dsc <> clo.anc
+    )
+)
+SELECT DISTINCT subj_ent, pred_name, obj_ent FROM (
+    SELECT child AS subj_ent, 'isa' AS pred_name, parent AS obj_ent FROM direct_full
+    UNION ALL
+    SELECT subj AS subj_ent, role_s AS pred_name, obj AS obj_ent FROM attrs_reduced
+)
+"""
+
+
 def _dot_sql(col: str, vec: list[float]) -> str:
     # DuckDB list indexing (1-based); the Spark side uses element_at
     # (also 1-based) in subont.ann with the same literals and term order.
@@ -388,6 +474,20 @@ ORACLE_IVF = (
     + ", ".join(f"{_cos_sql('embedding', vec)} AS c{cid}" for cid, vec in sorted(CENTROIDS.items()))
     + " FROM embeddings) t"
 )
+
+
+def _ivf_search_oracle(k: int = 10, nprobe: int = 2) -> str:
+    from subont.ann import probe_clusters
+
+    probes = ", ".join(str(c) for c in probe_clusters(CENTROIDS, QVEC, nprobe))
+    return f"""
+SELECT vec_id, rank FROM (
+    SELECT vec_id,
+           cast(row_number() OVER (ORDER BY {_cos_sql("embedding", QVEC)} DESC, vec_id) as bigint) AS rank
+    FROM ({ORACLE_IVF}) a JOIN embeddings USING (vec_id)
+    WHERE cluster IN ({probes})
+) t WHERE rank <= {k}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -522,15 +622,46 @@ def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_kg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Headline corpus→KG pipeline (rows-only check: canonicalization is
-    iterative connected components, not SQL-expressible)."""
-    from subont.corpus import synth_corpus
-    from subont.kg import build_kg
+def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from subont.ann import ivf_search
 
-    n = 20000 if sf_dir.rstrip("/").endswith("0.1") else 2000
-    src = synth_corpus(spark, n_files=n, n_concepts=max(50, n // 20))
-    return build_kg(spark, src).triples
+    return ivf_search(_emb(spark, sf_dir), CENTROIDS, QVEC, k=10, nprobe=2).select(
+        "vec_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_kg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline corpus→KG pipeline, surfaced as named string triples so
+    the DuckDB oracle (ORACLE_KG) can hash-compare: the planted corpus is
+    closed-form (md5-selection statements), and every pipeline stage —
+    extraction, lexical-root canonicalization, IS-A closure, direct-edge
+    derivation, most-specific-filler reduction — has an exact relational
+    equivalent."""
+    from subont.corpus import synth_corpus
+    from subont.kg import build_kg, role_id
+
+    n = 20000 if sf_dir.rstrip("/").endswith("0.1") else KG_N
+    src = synth_corpus(spark, n_files=n, n_concepts=max(KG_NC, n // 20))
+    kg = build_kg(spark, src)
+    e1 = kg.concepts.select(F.col("concept_id").alias("subj"), F.col("ent").alias("subj_ent"))
+    e2 = kg.concepts.select(F.col("concept_id").alias("obj"), F.col("ent").alias("obj_ent"))
+    roles = (
+        kg.statements.filter(F.col("stype") == "attr")
+        .select("role")
+        .distinct()
+        .select(role_id(F.col("role")).alias("pred"), F.col("role").alias("role_name"))
+    )
+    return (
+        kg.triples.join(e1, "subj")
+        .join(e2, "obj")
+        .join(F.broadcast(roles), "pred", "left")
+        .select(
+            "subj_ent",
+            F.coalesce("role_name", F.lit("isa")).alias("pred_name"),
+            "obj_ent",
+        )
+        .distinct()
+    )
 
 
 def q_subontology_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -618,9 +749,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_cosine_topk": q_ann_topk,
         "ann_ivf_assign": q_ivf,
-        # end-to-end pipelines (rows-only)
+        "ann_ivf_search": q_ivf_search,
+        # end-to-end pipelines
         "kg_corpus_triples": q_kg_corpus,
-        "subontology_fixture_triples": q_subontology_fixture,
+        "subontology_fixture_triples": q_subontology_fixture,  # rows-only
     }
 
 
@@ -653,5 +785,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": ORACLE_SIMHASH,
         "ann_cosine_topk": ORACLE_ANN_TOPK,
         "ann_ivf_assign": ORACLE_IVF,
-        # kg_corpus_triples / subontology_fixture_triples: rows-only
+        "ann_ivf_search": _ivf_search_oracle(),
+        "kg_corpus_triples": _kg_oracle_sql(KG_N, KG_NC),
+        # subontology_fixture_triples: rows-only (full extraction pipeline)
     }

@@ -64,6 +64,44 @@ def cosine_topk(embeddings: DataFrame, qvec: list[float], k: int = 10) -> DataFr
     )
 
 
+def _cos_py(a: list[float], b: list[float]) -> float:
+    dot = sum(x * y for x, y in zip(a, b))
+    na = sum(x * x for x in a) ** 0.5
+    nb = sum(y * y for y in b) ** 0.5
+    return dot / (na * nb)
+
+
+def probe_clusters(centroids: dict[int, list[float]], qvec: list[float], nprobe: int) -> list[int]:
+    """Best-N clusters for a query — centroids are a driver-side literal
+    dimension, so probe selection is plain arithmetic, not a Spark job."""
+    return sorted(sorted(centroids), key=lambda c: (-_cos_py(centroids[c], qvec), c))[:nprobe]
+
+
+def ivf_search(
+    embeddings: DataFrame,
+    centroids: dict[int, list[float]],
+    qvec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF probe path: search only the best-``nprobe`` clusters' buckets.
+
+    Scale shape: the cluster filter prunes the scan to nprobe/|C| of the
+    data BEFORE any scoring; scoring + TakeOrderedAndProject top-k run
+    only over the probed buckets.  At production scale the assignment is
+    precomputed and the table is partitioned by cluster, so the filter
+    becomes partition pruning."""
+    probes = probe_clusters(centroids, qvec, nprobe)
+    assigned = ivf_assign(embeddings, centroids)
+    bucketed = embeddings.join(
+        assigned.filter(F.col("cluster").isin(probes)), "vec_id", "left_semi"
+    )
+    scored = bucketed.withColumn("cos", F.expr(cosine_expr("embedding", qvec)))
+    topk = scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return topk.withColumn("rank", F.row_number().over(w)).select("vec_id", "rank")
+
+
 def ivf_assign(embeddings: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
     """IVF bucket assignment: nearest centroid by cosine (argmax via a
     portable greatest/CASE cascade).  At scale, queries probe only their

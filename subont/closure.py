@@ -220,8 +220,15 @@ def _covered_pairs(
     )
 
 
-def classify(ont: Ontology, max_fixpoint_rounds: int = 12) -> Classified:
-    """Full classification (A1): least fixpoint of the four rules."""
+def classify(
+    ont: Ontology, max_fixpoint_rounds: int = 12, allow_equivalences: bool = False
+) -> Classified:
+    """Full classification (A1): least fixpoint of the four rules.
+
+    ``allow_equivalences``: skip the A4 named-equivalence-cycle assertion
+    — required by the V1 rename-union oracle, whose whole construction
+    makes each focus concept provably equivalent to its renamed copy
+    (VerificationChecker.java:94-99 checks getEquivalentClasses)."""
     # ---- stated edges ----------------------------------------------------
     stated = (
         ont.axioms.select("sub_id", F.explode("rhs").alias("r"))
@@ -373,13 +380,14 @@ def classify(ont: Ontology, max_fixpoint_rounds: int = 12) -> Classified:
 
     # equivalence-cycle detection (A4): reference assumes none for SCT
     # (OntologyReasoningService.java:142).  Fail fast if violated.
-    cyc = closure.join(
-        closure.select(F.col("desc").alias("y_desc"), F.col("anc").alias("y_anc")),
-        (F.col("desc") == F.col("y_anc")) & (F.col("anc") == F.col("y_desc")),
-        "left_semi",
-    )
-    if not cyc.isEmpty():
-        raise ValueError("equivalent-class cycle detected; unsupported (reference assumes none)")
+    if not allow_equivalences:
+        cyc = closure.join(
+            closure.select(F.col("desc").alias("y_desc"), F.col("anc").alias("y_anc")),
+            (F.col("desc") == F.col("y_anc")) & (F.col("anc") == F.col("y_desc")),
+            "left_semi",
+        )
+        if not cyc.isEmpty():
+            raise ValueError("equivalent-class cycle detected; unsupported (reference assumes none)")
 
     closure = closure.localCheckpoint(eager=True)
     direct = derive_direct_edges(closure).localCheckpoint(eager=True)

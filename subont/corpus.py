@@ -31,6 +31,17 @@ def concept_parent(c: int) -> int | None:
     return c // FANOUT if c >= FANOUT else None
 
 
+def stmt_hash16(salt: str):
+    """16-bit md5 hash of (file id, salt) — drives the planted-statement
+    selection.  md5 + instr arithmetic so a DuckDB oracle can recompute
+    the exact statement set (__spark_entry__.ORACLE_KG)."""
+    from .textops import _hex4_to_int
+
+    return F.expr(
+        _hex4_to_int(f"substring(md5(concat('f', cast(id as string), '|{salt}')), 1, 4)")
+    )
+
+
 def synth_corpus(
     spark: SparkSession,
     n_files: int,
@@ -39,7 +50,11 @@ def synth_corpus(
     filler_words: int = 8,
     partitions: int | None = None,
 ) -> DataFrame:
-    """Deterministic corpus: every column a pure function of the file id."""
+    """Deterministic corpus: every column a pure function of the file id.
+
+    The statement-selection hashes (concept/kind/alias/role) are
+    engine-portable md5 arithmetic; presentation-only columns (repo,
+    path, filler) stay on the cheaper xxhash64."""
     df = spark.range(0, n_files, 1, partitions or spark.sparkContext.defaultParallelism)
     h = lambda salt: F.abs(F.xxhash64(F.col("id"), F.lit(salt)))  # noqa: E731
     repo_idx = h("repo") % 1000
@@ -64,14 +79,14 @@ def synth_corpus(
         "lang", F.element_at(F.array(*[F.lit(x) for x in LANGS]), (h("lang") % len(LANGS) + 1).cast("int"))
     )
 
-    # planted statements, deterministic per (file, slot)
+    # planted statements, deterministic per (file, slot) — portable hashes
     stmts = []
     for s in range(statements_per_file):
-        c = h(f"c{s}") % n_concepts
-        kind = h(f"k{s}") % 3
-        alias = (h(f"a{s}") % N_ALIASES).cast("string")
-        alias2 = ((h(f"a{s}") + 1) % N_ALIASES).cast("string")
-        role = (h(f"r{s}") % N_ROLES).cast("string")
+        c = stmt_hash16(f"c{s}") % n_concepts
+        kind = stmt_hash16(f"k{s}") % 3
+        alias = (stmt_hash16(f"a{s}") % N_ALIASES).cast("string")
+        alias2 = ((stmt_hash16(f"a{s}") + 1) % N_ALIASES).cast("string")
+        role = (stmt_hash16(f"r{s}") % N_ROLES).cast("string")
         tgt = (c * 7 + 13) % n_concepts
         parent = (c / FANOUT).cast("long")
         cs, ts = c.cast("string"), F.lit("")

@@ -72,6 +72,274 @@ def verify_focus_equivalence(
     return only_src.unionByName(only_sub)
 
 
+def _hash60_col(s) -> F.Column:
+    """Spark-side model._hash60 (content-hash negative long)."""
+    return -F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long").bitwiseOR(F.lit(1))
+
+
+def _ref_map(ren: DataFrame, pv_map: DataFrame):
+    """Column expressions mapping a (kind, ref_id) struct through the
+    concept renaming + the pv re-minting maps."""
+    return ren.select(F.col("old_id").alias("_c_old"), F.col("new_id").alias("_c_new")), \
+        pv_map.select(F.col("old_pv").alias("_p_old"), F.col("new_pv").alias("_p_new"))
+
+
+def rename_union_ontology(
+    src_ont: Ontology, sub_ont: Ontology, focus: DataFrame
+) -> tuple[Ontology, DataFrame]:
+    """The V1 rename-union construction (VerificationChecker.java:35-110),
+    batched over ALL focus concepts at once: clone the subontology with
+    every focus concept renamed to a fresh content-hash id, keep the
+    axioms that mention a renamed entity, and union them into the source.
+
+    PV names are content hashes of (role, filler), so every PV whose
+    filler (transitively) mentions a focus concept is re-minted with the
+    renamed filler — the distributed analogue of OWLEntityRenamer
+    rewriting class IRIs inside restrictions.
+
+    Returns (union ontology, renaming map (old_id, new_id)).
+
+    Divergence note: the reference renames one focus concept per
+    reclassification; renaming all simultaneously is monotonically
+    stronger (extra renamed axioms can only ADD entailments), so a PASS
+    here is implied by the reference's per-class pass; tests cover the
+    single-focus case where both constructions coincide exactly."""
+    spark = src_ont.axioms.sparkSession
+    ren = _chk(
+        focus.select(F.col("concept_id").alias("old_id")).distinct().withColumn(
+            "new_id", _hash60_col(F.concat(F.lit("v1ren|"), F.col("old_id").cast("string")))
+        )
+    )
+
+    # ---- transitively-affected PVs (filler mentions a focus concept) ----
+    pvs = sub_ont.pvs
+    direct_aff = (
+        pvs.filter(F.col("filler_concept").isNotNull())
+        .join(ren, pvs.filler_concept == ren.old_id, "left_semi")
+        .select("pv_id")
+        .unionByName(
+            pvs.filter(F.col("filler_concept").isNull())
+            .select("pv_id", F.explode("filler_refs").alias("r"))
+            .filter(F.col("r.kind") == "c")
+            .join(ren, F.col("r.ref_id") == ren.old_id, "left_semi")
+            .select("pv_id")
+        )
+        .distinct()
+    )
+    affected = _chk(direct_aff)
+    for _ in range(8):
+        up = (
+            pvs.filter(F.col("filler_concept").isNull())
+            .select("pv_id", F.explode("filler_refs").alias("r"))
+            .filter(F.col("r.kind") == "p")
+            .join(affected.withColumnRenamed("pv_id", "apv"), F.col("r.ref_id") == F.col("apv"), "left_semi")
+            .select("pv_id")
+            .distinct()
+            .join(affected, "pv_id", "left_anti")
+        )
+        if up.isEmpty():
+            break
+        affected = _chk(affected.unionByName(up))
+
+    # ---- re-mint affected PVs bottom-up (content-hash ids) ---------------
+    pv_map = spark.createDataFrame([], "old_pv long, new_pv long")
+    new_pv_rows = pvs.limit(0)
+    pending = pvs.join(affected, "pv_id", "left_semi")
+    for _ in range(8):
+        if pending.isEmpty():
+            break
+        cmap, pmap = _ref_map(ren, pv_map)
+        simple = (
+            pending.filter(F.col("filler_concept").isNotNull())
+            .join(cmap, F.col("filler_concept") == F.col("_c_old"))
+            .select(
+                F.col("pv_id").alias("old_pv"),
+                "role_id",
+                F.col("_c_new").alias("new_filler"),
+            )
+            .withColumn(
+                "new_pv",
+                _hash60_col(
+                    F.concat(F.lit("pv|"), F.col("role_id").cast("string"), F.lit("|c"),
+                             F.col("new_filler").cast("string"))
+                ),
+            )
+        )
+        # complex PVs: every affected nested p-ref must already be mapped
+        refs = pending.filter(F.col("filler_concept").isNull()).select(
+            "pv_id", "role_id", F.explode("filler_refs").alias("r")
+        )
+        mapped = (
+            refs.join(cmap, (F.col("r.kind") == "c") & (F.col("r.ref_id") == F.col("_c_old")), "left")
+            .join(pmap, (F.col("r.kind") == "p") & (F.col("r.ref_id") == F.col("_p_old")), "left")
+            .join(
+                affected.select(F.col("pv_id").alias("_apv")).withColumn("_aff", F.lit(True)),
+                F.col("r.ref_id") == F.col("_apv"),
+                "left",
+            )
+            .select(
+                "pv_id",
+                "role_id",
+                F.col("r.kind").alias("kind"),
+                F.coalesce("_c_new", "_p_new", F.col("r.ref_id")).alias("ref_id"),
+                # blocked: nested pv is affected but its new id isn't known yet
+                (
+                    (F.col("r.kind") == "p") & F.coalesce(F.col("_aff"), F.lit(False))
+                    & F.col("_p_new").isNull()
+                ).alias("blocked"),
+            )
+        )
+        agg = mapped.groupBy("pv_id", "role_id").agg(
+            F.max(F.col("blocked").cast("int")).alias("any_blocked"),
+            F.array_sort(F.collect_list(F.struct("kind", "ref_id"))).alias("refs"),
+        )
+        done_complex = agg.filter(F.col("any_blocked") == 0).select(
+            F.col("pv_id").alias("old_pv"),
+            "role_id",
+            "refs",
+            _hash60_col(
+                F.concat(
+                    F.lit("pv|"),
+                    F.col("role_id").cast("string"),
+                    F.lit("|"),
+                    F.concat_ws(
+                        "&", F.expr("transform(refs, x -> concat(x.kind, cast(x.ref_id as string)))")
+                    ),
+                )
+            ).alias("new_pv"),
+        )
+        new_simple_rows = simple.select(
+            F.col("new_pv").alias("pv_id"),
+            "role_id",
+            F.col("new_filler").alias("filler_concept"),
+            F.lit(None).cast(pvs.schema["filler_refs"].dataType).alias("filler_refs"),
+        )
+        new_complex_rows = done_complex.select(
+            F.col("new_pv").alias("pv_id"),
+            "role_id",
+            F.lit(None).cast("long").alias("filler_concept"),
+            F.col("refs").alias("filler_refs"),
+        )
+        step_map = simple.select("old_pv", "new_pv").unionByName(
+            done_complex.select("old_pv", "new_pv")
+        )
+        if step_map.isEmpty():
+            break
+        pv_map = _chk(pv_map.unionByName(step_map).distinct())
+        new_pv_rows = _chk(new_pv_rows.unionByName(new_simple_rows).unionByName(new_complex_rows))
+        pending = pending.join(pv_map.withColumnRenamed("old_pv", "pv_id"), "pv_id", "left_anti")
+
+    # ---- renamed axioms ---------------------------------------------------
+    cmap, pmap = _ref_map(ren, pv_map)
+    ax_refs = sub_ont.axioms.select(
+        "axiom_id", "sub_id", "is_equiv", "is_gci", "gci_super", F.explode("rhs").alias("r")
+    )
+    ax_mapped = (
+        ax_refs.join(cmap, (F.col("r.kind") == "c") & (F.col("r.ref_id") == F.col("_c_old")), "left")
+        .join(pmap, (F.col("r.kind") == "p") & (F.col("r.ref_id") == F.col("_p_old")), "left")
+        .select(
+            "axiom_id", "sub_id", "is_equiv", "is_gci", "gci_super",
+            F.col("r.kind").alias("kind"),
+            F.coalesce("_c_new", "_p_new", F.col("r.ref_id")).alias("ref_id"),
+            (F.col("_c_new").isNotNull() | F.col("_p_new").isNotNull()).alias("touched"),
+        )
+    )
+    per_ax = ax_mapped.groupBy("axiom_id", "sub_id", "is_equiv", "is_gci", "gci_super").agg(
+        F.array_sort(F.collect_set(F.struct("kind", "ref_id"))).alias("rhs"),
+        F.max(F.col("touched").cast("int")).alias("rhs_touched"),
+    )
+    per_ax = (
+        per_ax.join(cmap.withColumnRenamed("_c_old", "sub_id").withColumnRenamed("_c_new", "_sub_new"), "sub_id", "left")
+        .join(cmap.withColumnRenamed("_c_old", "gci_super").withColumnRenamed("_c_new", "_sup_new"), "gci_super", "left")
+    )
+    tokens = F.concat_ws(
+        "&", F.expr("transform(rhs, x -> concat(x.kind, cast(x.ref_id as string)))")
+    )
+    # a renamed GCI needs a re-minted content-hash name (same scheme as
+    # model.gci_id_for) — reusing the old name would alias two different
+    # LHS definitions in the union
+    new_sub = F.when(
+        F.col("is_gci"),
+        _hash60_col(
+            F.concat(
+                F.lit("gci|"), F.coalesce("_sup_new", "gci_super").cast("string"),
+                F.lit("|"), tokens,
+            )
+        ),
+    ).otherwise(F.coalesce("_sub_new", "sub_id"))
+    renamed = per_ax.filter(
+        (F.col("rhs_touched") == 1) | F.col("_sub_new").isNotNull() | F.col("_sup_new").isNotNull()
+    ).select(
+        _hash60_col(
+            F.concat_ws(
+                "|",
+                F.lit("v1ax"),
+                new_sub.cast("string"),
+                F.col("is_equiv").cast("string"),
+                F.col("is_gci").cast("string"),
+                F.coalesce(F.coalesce("_sup_new", "gci_super").cast("string"), F.lit("-")),
+                tokens,
+            )
+        ).alias("axiom_id"),
+        new_sub.alias("sub_id"),
+        "is_equiv",
+        "is_gci",
+        F.coalesce("_sup_new", "gci_super").alias("gci_super"),
+        "rhs",
+    )
+
+    union = replace_ontology_for_rename(src_ont, sub_ont, renamed, new_pv_rows)
+    return union, ren
+
+
+def replace_ontology_for_rename(
+    src_ont: Ontology, sub_ont: Ontology, renamed_axioms: DataFrame, new_pv_rows: DataFrame
+) -> Ontology:
+    from dataclasses import replace as _replace
+
+    return _replace(
+        src_ont,
+        axioms=_chk(src_ont.axioms.unionByName(renamed_axioms)),
+        pvs=_chk(
+            src_ont.pvs.unionByName(sub_ont.pvs).unionByName(new_pv_rows)
+            .dropDuplicates(["pv_id"])
+        ),
+        subprops=src_ont.subprops.unionByName(sub_ont.subprops).distinct(),
+        transitive_roles=src_ont.transitive_roles.unionByName(sub_ont.transitive_roles).distinct(),
+        reflexive_roles=src_ont.reflexive_roles.unionByName(sub_ont.reflexive_roles).distinct(),
+        role_chains=src_ont.role_chains.unionByName(sub_ont.role_chains).distinct(),
+    )
+
+
+def verify_focus_equivalence_rename(
+    src_ont: Ontology, sub_ont: Ontology, focus: DataFrame
+) -> DataFrame:
+    """V1 slow-path oracle (VerificationChecker.java:35-110): classify
+    source ∪ renamed-subontology and require each NAMED (non-primitive)
+    focus concept to be equivalent to its renamed copy.  Returns the
+    failing (old_id, new_id) rows — empty means verified.
+
+    This is the semantic fallback for the fast normalized-definition
+    proxy (verify_focus_equivalence): a definition that is syntactically
+    different but semantically equal passes here."""
+    from .closure import classify
+
+    union, ren = rename_union_ontology(src_ont, sub_ont, focus)
+    cl = classify(union, allow_equivalences=True)
+    named = ren.join(
+        sub_ont.axioms.filter(F.col("is_equiv") & ~F.col("is_gci"))
+        .select(F.col("sub_id").alias("old_id")),
+        "old_id",
+        "left_semi",
+    )
+    fwd = cl.closure.select(F.col("desc").alias("old_id"), F.col("anc").alias("new_id"))
+    bwd = cl.closure.select(F.col("anc").alias("old_id"), F.col("desc").alias("new_id"))
+    ok = named.join(fwd, ["old_id", "new_id"], "left_semi").join(
+        bwd, ["old_id", "new_id"], "left_semi"
+    )
+    return named.join(ok, ["old_id", "new_id"], "left_anti")
+
+
 def nearest_in_signature_children(
     src_cl: Classified, signature: DataFrame, max_depth: int = 64
 ) -> DataFrame:

