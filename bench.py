@@ -50,10 +50,22 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
-def _session(cores: int, shuffle: int):
+def _session(cores: int, shuffle: int, max_partition_bytes: int | None = None):
     from subont.session import get_spark
 
-    return get_spark("subont-bench", cores=cores, shuffle_partitions=shuffle)
+    return get_spark(
+        "subont-bench",
+        cores=cores,
+        shuffle_partitions=shuffle,
+        max_partition_bytes=max_partition_bytes,
+    )
+
+
+# input-split size for the KG scaling runs: the bench corpus is a few
+# hundred MB, so the Spark default (128 MB) would hand the extraction
+# scan 2-3 partitions — parallelism capped regardless of cores.  4 MB
+# yields ~50 splits on the 1M-file corpus (≥ any local[N] level here).
+KG_SPLIT_BYTES = 4 * 1024 * 1024
 
 
 def run_headline(sf_dir: str, cores: int) -> dict:
@@ -154,11 +166,13 @@ def _kg_run_pinned(cores: int, path: str) -> tuple[float, int]:
 
 
 def _kg_run_once(cores: int, path: str) -> tuple[float, int]:
+    from subont.extract import extract_statements
     from subont.kg import build_kg
 
-    spark = _session(cores, shuffle=max(cores, 16))
-    # warm session + python workers (untimed)
-    spark.read.parquet(path).limit(1000).selectExpr("length(content) l").agg({"l": "sum"}).head()
+    spark = _session(cores, shuffle=max(cores, 16), max_partition_bytes=KG_SPLIT_BYTES)
+    # warm session AND the Arrow python workers (untimed): the first
+    # mapInPandas pays worker fork + module import once per core
+    extract_statements(spark.read.parquet(path).limit(2000)).count()
     t0 = time.time()
     src = spark.read.parquet(path)
     triples = build_kg(spark, src).triples

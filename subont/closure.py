@@ -76,6 +76,11 @@ def transitive_closure(
     hop = (seed_closure.select("desc", "anc").unionByName(edges).distinct() if seed_closure is not None else edges)
     hop = hop.select(F.col("desc").alias("hop_desc"), F.col("anc").alias("hop_anc"))
     delta = closure
+    # per-round cost discipline: only the (shrinking) delta is
+    # checkpointed; the accumulated closure is a lazy UNION of already-
+    # checkpointed deltas, so nothing re-materializes the full closure
+    # each round (round-1 profile: the per-round closure re-checkpoint
+    # was ~half the fixpoint's serial cost).
     for _ in range(max_rounds):
         delta = (
             delta.select(F.col("desc").alias("d_desc"), F.col("anc").alias("d_anc"))
@@ -87,7 +92,7 @@ def transitive_closure(
         delta = _chk(delta)
         if delta.isEmpty():
             break
-        closure = _chk(closure.unionByName(delta))
+        closure = closure.unionByName(delta)
     else:
         raise RuntimeError("transitive_closure: max_rounds exceeded")
     return closure.filter(F.col("desc") != F.col("anc"))
@@ -270,6 +275,7 @@ def classify(
     ).localCheckpoint(eager=True)
 
     closure = transitive_closure(edges)
+    have_chains = not chains.isEmpty()  # hoisted: one action, not one per round
     for _ in range(max_fixpoint_rounds):
         new_edges_parts = []
 
@@ -317,7 +323,7 @@ def classify(
         new_edges_parts.append(eq_edges)
 
         # ---- R-chain: existential propagation onto named PVs --------------
-        if not chains.isEmpty():
+        if have_chains:
             refl = F.lit(True)
             # X ⊑* pv1  (X may be pv1 itself via stated edge chain: use closure ∪ identity)
             below_pv1 = closure.select(F.col("desc").alias("X"), F.col("anc").alias("pv1id")).unionByName(

