@@ -476,6 +476,39 @@ ORACLE_IVF = (
 )
 
 
+NEARDUP_COS = 0.40  # the synthetic embeddings are random (max pair cos
+# ≈ 0.48): 0.40 yields a real, non-trivial within-cluster pair set
+
+
+def _pair_cos_sql(x: str, y: str, dim: int = 64) -> str:
+    dot = " + ".join(
+        f"(cast(list_extract({x},{i + 1}) as double) * cast(list_extract({y},{i + 1}) as double))"
+        for i in range(dim)
+    )
+    nx = " + ".join(
+        f"(cast(list_extract({x},{i + 1}) as double) * cast(list_extract({x},{i + 1}) as double))"
+        for i in range(dim)
+    )
+    ny = " + ".join(
+        f"(cast(list_extract({y},{i + 1}) as double) * cast(list_extract({y},{i + 1}) as double))"
+        for i in range(dim)
+    )
+    return f"(({dot}) / (sqrt({nx}) * sqrt({ny})))"
+
+
+def _neardup_oracle() -> str:
+    return f"""
+WITH assig AS ({ORACLE_IVF})
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_pair_cos_sql("a.embedding", "b.embedding")} AS cos
+FROM embeddings a
+JOIN assig ca ON a.vec_id = ca.vec_id
+JOIN embeddings b ON a.vec_id < b.vec_id
+JOIN assig cb ON b.vec_id = cb.vec_id AND ca.cluster = cb.cluster
+WHERE {_pair_cos_sql("a.embedding", "b.embedding")} >= {NEARDUP_COS}
+"""
+
+
 def _ivf_search_oracle(k: int = 10, nprobe: int = 2) -> str:
     from subont.ann import probe_clusters
 
@@ -630,6 +663,14 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from subont.ann import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _emb(spark, sf_dir), CENTROIDS, dim=64, threshold=NEARDUP_COS
+    )
+
+
 def q_kg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Headline corpus→KG pipeline, surfaced as named string triples so
     the DuckDB oracle (ORACLE_KG) can hash-compare: the planted corpus is
@@ -750,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_topk,
         "ann_ivf_assign": q_ivf,
         "ann_ivf_search": q_ivf_search,
+        "dedup_embedding_cosine": q_neardup_embedding,
         # end-to-end pipelines
         "kg_corpus_triples": q_kg_corpus,
         "subontology_fixture_triples": q_subontology_fixture,  # rows-only
@@ -786,6 +828,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": ORACLE_ANN_TOPK,
         "ann_ivf_assign": ORACLE_IVF,
         "ann_ivf_search": _ivf_search_oracle(),
+        "dedup_embedding_cosine": _neardup_oracle(),
         "kg_corpus_triples": _kg_oracle_sql(KG_N, KG_NC),
         # subontology_fixture_triples: rows-only (full extraction pipeline)
     }

@@ -102,6 +102,54 @@ def ivf_search(
     return topk.withColumn("rank", F.row_number().over(w)).select("vec_id", "rank")
 
 
+def _pair_cos_expr(dim: int) -> str:
+    """Portable cosine between two embedding columns ``a_emb``/``b_emb``
+    (explicit left-associative sums, like cosine_expr)."""
+    dot = " + ".join(
+        f"(cast(element_at(a_emb, {i + 1}) as double) * cast(element_at(b_emb, {i + 1}) as double))"
+        for i in range(dim)
+    )
+    na = " + ".join(
+        f"(cast(element_at(a_emb, {i + 1}) as double) * cast(element_at(a_emb, {i + 1}) as double))"
+        for i in range(dim)
+    )
+    nb = " + ".join(
+        f"(cast(element_at(b_emb, {i + 1}) as double) * cast(element_at(b_emb, {i + 1}) as double))"
+        for i in range(dim)
+    )
+    return f"(({dot}) / (sqrt({na}) * sqrt({nb})))"
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    centroids: dict[int, list[float]],
+    dim: int = 64,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, IVF-bucketed.
+
+    Scale shape: candidate pairs are generated ONLY within an IVF
+    cluster (the ANN blocking step — near-duplicates land in the same
+    cluster for thresholds near 1), so the join is per-bucket quadratic,
+    never corpus-quadratic; the shuffle partitions by cluster.  Exact
+    cosine is then verified per candidate pair (no false positives;
+    recall bounded by the blocking like any LSH-family dedup)."""
+    assigned = ivf_assign(embeddings, centroids)
+    side = embeddings.join(assigned, "vec_id")
+    a = side.select(
+        F.col("cluster"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb")
+    )
+    b = side.select(
+        F.col("cluster"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb")
+    )
+    pairs = a.join(b, "cluster").filter(F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.withColumn("cos", F.expr(_pair_cos_expr(dim)))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
 def ivf_assign(embeddings: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
     """IVF bucket assignment: nearest centroid by cosine (argmax via a
     portable greatest/CASE cascade).  At scale, queries probe only their

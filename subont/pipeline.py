@@ -718,7 +718,8 @@ def compute_subontology(
         sub_axioms = shrunk
         work_ont = work_ont.with_axioms(sub_axioms)
         sub_cl = classify(work_ont)
-    nnf_classes = work_ont.class_signature().withColumnRenamed("concept_id", "sub_id")
+    final_sig = _chk(work_ont.class_signature())
+    nnf_classes = final_sig.withColumnRenamed("concept_id", "sub_id")
     nnf = nnf_definitions(work_ont, sub_cl, nnf_classes, options)
     sig_props = (
         work_ont.role_signature()
@@ -732,7 +733,7 @@ def compute_subontology(
     # (SubOntologyExtractionHandler.java:725-760): copy every source
     # annotation whose entity is in the sub∪NNF signature, then tag each
     # signature class with an rdfs:comment concept-type marker.
-    sub_classes = work_ont.class_signature()
+    sub_classes = final_sig
     entity_ids = _chk(
         sub_classes.unionByName(sig_props.withColumnRenamed("role_id", "concept_id"))
         .unionByName(
