@@ -226,14 +226,25 @@ def _covered_pairs(
 
 
 def classify(
-    ont: Ontology, max_fixpoint_rounds: int = 12, allow_equivalences: bool = False
+    ont: Ontology,
+    max_fixpoint_rounds: int = 12,
+    allow_equivalences: bool = False,
+    seed: "Classified | None" = None,
 ) -> Classified:
     """Full classification (A1): least fixpoint of the four rules.
 
     ``allow_equivalences``: skip the A4 named-equivalence-cycle assertion
     — required by the V1 rename-union oracle, whose whole construction
     makes each focus concept provably equivalent to its renamed copy
-    (VerificationChecker.java:94-99 checks getEquivalentClasses)."""
+    (VerificationChecker.java:94-99 checks getEquivalentClasses).
+
+    ``seed``: a prior classification of a SUB-ontology (axioms ⊆ current
+    axioms).  EL is monotone, so every seeded closure pair stays entailed
+    — the base closure folds the seed in one incremental round instead of
+    re-deriving every path (the reference re-classifies from scratch,
+    SubOntologyExtractionHandler.java:186).  Do NOT seed after axiom
+    REMOVAL (e.g. the P11 shrink) — monotonicity is the soundness
+    argument."""
     # ---- stated edges ----------------------------------------------------
     stated = (
         ont.axioms.select("sub_id", F.explode("rhs").alias("r"))
@@ -274,7 +285,7 @@ def classify(
         "pv_id", "role_id", "filler_concept"
     ).localCheckpoint(eager=True)
 
-    closure = transitive_closure(edges)
+    closure = transitive_closure(edges, seed_closure=seed.closure if seed is not None else None)
     have_chains = not chains.isEmpty()  # hoisted: one action, not one per round
     for _ in range(max_fixpoint_rounds):
         new_edges_parts = []

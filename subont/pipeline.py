@@ -706,9 +706,10 @@ def compute_subontology(
     sub_axioms = _chk(sub_axioms.unionByName(completion_axioms).distinct())
     work_ont = work_ont.with_axioms(sub_axioms)
 
-    # re-classify for shrinking (:186; here a full re-classify too — the
-    # completion may enable new equivalence-rule firings)
-    sub_cl = classify(work_ont)
+    # re-classify for shrinking (:186) — INCREMENTAL: P10 only ADDED
+    # axioms, so the previous sub-classification seeds the closure
+    # (monotone EL; the rules still run to their fixpoint on top)
+    sub_cl = classify(work_ont, seed=sub_cl)
 
     # P11: shrink
     shrunk = _shrink_hierarchy(
