@@ -174,6 +174,47 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """
 
+# multi-level rollup (GROUPING SETS family) — shared SQL in both engines
+Q_ROLLUP = """
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(day_ts, timestamp '1900-01-01 00:00:00') AS day_ts,
+       n_events, sum_value
+FROM (
+  SELECT event_type, day_ts, count(*) AS n_events,
+         cast(sum(v) as double) AS sum_value
+  FROM (
+    SELECT event_type, date_trunc('day', ts) AS day_ts,
+           cast(value as decimal(18,4)) AS v
+    FROM events
+  ) t
+  GROUP BY ROLLUP (event_type, day_ts)
+) r
+"""
+
+# backward as-of join oracle: per purchase, the most recent prior click
+# of the same user (ties on ts → greatest click event_id) — DuckDB
+# correlated form; the Spark side is subont.relops.asof_join's
+# union+carry-forward window formulation
+ORACLE_ASOF = """
+SELECT event_id, user_id, ts,
+       coalesce((SELECT c.event_id FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts
+        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1), -1) AS click_event_id,
+       coalesce((SELECT c.ts FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts
+        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1),
+        timestamp '1900-01-01 00:00:00') AS click_ts
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
+ORACLE_RANGE_PAIRS = """
+SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+       a.ts AS ts_a, b.ts AS ts_b
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND b.ts > a.ts
+ AND epoch(b.ts) - epoch(a.ts) <= 600
+"""
+
 # recursive-closure oracle over a forest derived from orders keys
 _EDGES_SQL = "SELECT o_orderkey AS child, o_orderkey // 10 AS parent FROM orders WHERE o_orderkey >= 10"
 _CLO_CTE = f"""
@@ -671,6 +712,30 @@ def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from subont.relops import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    out = asof_join(
+        purchases, clicks, key="user_id", ts="ts",
+        right_cols=["event_id"], suffix="_click", tiebreak="event_id_click",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.coalesce("event_id_click", F.lit(-1)).alias("click_event_id"),
+        F.coalesce("ts_click", F.expr("timestamp '1900-01-01 00:00:00'")).alias("click_ts"),
+    )
+
+
+def q_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from subont.relops import range_join_window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return range_join_window(ev, id_col="event_id", ts="ts", max_gap_seconds=600, key="user_id")
+
+
 def q_kg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Headline corpus→KG pipeline, surfaced as named string triples so
     the DuckDB oracle (ORACLE_KG) can hash-compare: the planted corpus is
@@ -771,6 +836,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": _sql(Q_EVENTS),
         "events_sessionize": _sql(Q_SESSIONIZE),
         "agg_median": _sql(Q_MEDIAN),
+        "rollup_daily": _sql(Q_ROLLUP),
+        "events_asof_join": q_asof,
+        "events_range_pairs": q_range_pairs,
         # graph/closure kernels (A1-A6, S5)
         "isa_closure": q_closure,
         "direct_edges": q_direct,
@@ -811,6 +879,9 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_rollup": Q_EVENTS,
         "events_sessionize": Q_SESSIONIZE,
         "agg_median": Q_MEDIAN,
+        "rollup_daily": Q_ROLLUP,
+        "events_asof_join": ORACLE_ASOF,
+        "events_range_pairs": ORACLE_RANGE_PAIRS,
         "isa_closure": ORACLE_CLOSURE,
         "direct_edges": ORACLE_DIRECT,
         "descendants_expansion": ORACLE_DESCENDANTS,
