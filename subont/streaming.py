@@ -47,6 +47,65 @@ def stream_statement_counts(src_stream: DataFrame, window: str = "1 minute") -> 
     )
 
 
+SESSION_OUTPUT_DDL = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+SESSION_STATE_DDL = "last_ts timestamp, start_ts timestamp, n long"
+
+
+def stream_sessionize(events_stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization with
+    ``applyInPandasWithState`` — the streaming twin of the batch
+    Q_SESSIONIZE window query.
+
+    Per user, events extend the open session while the inter-event gap
+    stays ≤ ``gap_minutes``; a longer gap CLOSES the session (emitted
+    downstream) and opens a new one.  The trailing open session stays in
+    state across micro-batches (exactly-once via the stream checkpoint).
+
+    Scale shape: state is per-user O(1) (three scalars); the shuffle
+    partitions by user_id like any streaming aggregation."""
+    import pandas as pd  # noqa: F401 (executor import)
+
+    gap_seconds = gap_minutes * 60
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            last_ts, start_ts, n = state.get
+        else:
+            last_ts = start_ts = None
+            n = 0
+        closed = []
+        for pdf in pdfs:
+            for ts in pdf.sort_values("ts")["ts"]:
+                ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+                if last_ts is not None and (ts - last_ts).total_seconds() > gap_seconds:
+                    closed.append((user_id, start_ts, last_ts, n))
+                    start_ts, n = None, 0
+                if start_ts is None:
+                    start_ts = ts
+                last_ts = ts
+                n += 1
+        state.update((last_ts, start_ts, n))
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=["user_id", "session_start", "session_end", "n_events"]
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUTPUT_DDL,
+        stateStructType=SESSION_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_statement_sink(
     spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
 ) -> None:

@@ -63,3 +63,54 @@ def test_streaming_statement_sink(spark, tmp_path):
     # restart with no new data: exactly-once, nothing duplicated
     run_statement_sink(spark, src_dir, out_dir, cp_dir)
     assert spark.read.parquet(out_dir).count() == batch.count()
+
+
+def test_stream_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState gap sessionization: sessions closed by a
+    later event are emitted; state carries the open session across
+    micro-batches (maxFilesPerTrigger=1 forces two batches)."""
+    from datetime import datetime, timedelta
+
+    from subont.streaming import stream_sessionize
+
+    t0 = datetime(2024, 1, 1, 8, 0, 0)
+    m = timedelta(minutes=1)
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    # batch 1: user 1 session A (3 events), user 2 session A (1 event)
+    spark.createDataFrame(
+        [(1, t0), (1, t0 + 5 * m), (1, t0 + 10 * m), (2, t0)],
+        "user_id long, ts timestamp",
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    # batch 2 (later files): events >30min after close both session As
+    spark.createDataFrame(
+        [(1, t0 + 60 * m), (2, t0 + 120 * m), (2, t0 + 125 * m)],
+        "user_id long, ts timestamp",
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = str(tmp_path / "sessions_out")
+    q = (
+        stream_sessionize(stream, gap_minutes=30)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    # only the sessions CLOSED by a later event are emitted; the trailing
+    # open sessions (user1 @t0+60m, user2 @t0+120m..125m) stay in state
+    assert got == {
+        (1, t0, t0 + 10 * m, 3),
+        (2, t0, t0, 1),
+    }
