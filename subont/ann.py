@@ -134,7 +134,14 @@ def embedding_neardup_pairs(
     never corpus-quadratic; the shuffle partitions by cluster.  Exact
     cosine is then verified per candidate pair (no false positives;
     recall bounded by the blocking like any LSH-family dedup)."""
-    assigned = ivf_assign(embeddings, centroids)
+    # materialize the (vec_id, cluster) assignment before the self-join:
+    # the assignment expression is an ~8×dim-term CASE cascade, and
+    # inlining it into BOTH join sides makes Catalyst copy a multi-
+    # thousand-node expression tree through every optimizer rule (driver
+    # memory blowup observed at default heap).  The assignment table
+    # itself is two columns — checkpointing it costs one tiny job and
+    # keeps the join plan linear in dim.
+    assigned = ivf_assign(embeddings, centroids).localCheckpoint(eager=True)
     side = embeddings.join(assigned, "vec_id")
     a = side.select(
         F.col("cluster"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb")
