@@ -98,7 +98,15 @@ def range_join_window(
         a.join(b, on)
         .filter(
             (F.col("_b_ts") > F.col(ts))
-            & (F.unix_timestamp("_b_ts") - F.unix_timestamp(ts) <= max_gap_seconds)
+            # exact epoch seconds (micros preserved): unix_timestamp()
+            # truncates to whole seconds and disagrees with sub-second
+            # inputs at the gap boundary.  NTZ inputs cast via TIMESTAMP
+            # (session is UTC → same naive arithmetic as the oracle).
+            & (
+                F.col("_b_ts").cast("timestamp").cast("double")
+                - F.col(ts).cast("timestamp").cast("double")
+                <= max_gap_seconds
+            )
         )
         .select(
             *([key] if key else []),
