@@ -757,9 +757,11 @@ def q_kg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select(role_id(F.col("role")).alias("pred"), F.col("role").alias("role_name"))
     )
+    # the concept dimension is checkpointed once inside build_kg and
+    # broadcast on BOTH name joins — no shuffle of the triple table
     return (
-        kg.triples.join(e1, "subj")
-        .join(e2, "obj")
+        kg.triples.join(F.broadcast(e1), "subj")
+        .join(F.broadcast(e2), "obj")
         .join(F.broadcast(roles), "pred", "left")
         .select(
             "subj_ent",
@@ -771,9 +773,10 @@ def q_kg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_subontology_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference-parity extraction on the dummy CI fixture (rows-only:
-    validated structurally against the reference's golden triples in
-    tests/test_pipeline.py)."""
+    """Reference-parity extraction on the dummy CI fixture.  The full
+    P1-P15 pipeline runs in Spark; the oracle is the reference's OWN
+    expected output — the 9 golden triples fixed by
+    SubontologyExtractionTest.java:56-69 — as a literal VALUES table."""
     from subont import fixtures
     from subont.kg import build_kg  # noqa: F401  (import kept light)
     from subont.pipeline import compute_subontology
@@ -781,7 +784,65 @@ def q_subontology_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ont = fixtures.dummy_ontology(spark)
     res = compute_subontology(spark, ont, [fixtures.FOCUS], compute_rf2=True)
-    return triples_from_nnf(res.nnf_rows, res.prop_defs, res.sub)
+    t = triples_from_nnf(res.nnf_rows, res.prop_defs, res.sub)
+    return t.select(
+        F.col("subj").cast("long").alias("subj"),
+        F.col("pred").cast("long").alias("pred"),
+        F.col("obj").cast("long").alias("obj"),
+        F.col("rel_group").cast("long").alias("rel_group"),
+    )
+
+
+def q_concrete_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 concrete-values split (RF2Printer.java:207-254): NNF definition
+    + triple materialization over the concrete-domain fixture; data PVs
+    yield (pred, value) rows with no destination.  NULL-free surface for
+    the hash compare: obj → -1, value → '' sentinels."""
+    from subont import fixtures
+    from subont.closure import classify
+    from subont.definitions import nnf_definitions
+    from subont.rf2 import triples_from_nnf
+
+    ont = fixtures.concrete_ontology(spark)
+    cl = classify(ont)
+    focus = spark.createDataFrame([(fixtures.CONCRETE_FOCUS,)], "sub_id long")
+    nnf = nnf_definitions(ont, cl, focus)
+    t = triples_from_nnf(nnf.rows, ont.subprops.limit(0), ont)
+    return t.select(
+        F.col("subj").cast("long").alias("subj"),
+        F.col("pred").cast("long").alias("pred"),
+        F.coalesce(F.col("obj"), F.lit(-1)).cast("long").alias("obj"),
+        F.col("rel_group").cast("long").alias("rel_group"),
+        F.coalesce(F.col("value"), F.lit("")).alias("value"),
+    )
+
+
+def _fixture_oracle() -> str:
+    from subont.fixtures import EXPECTED_TRIPLES
+
+    rows = ", ".join(f"({s}, {p}, {o}, {g})" for s, p, o, g in sorted(EXPECTED_TRIPLES))
+    return (
+        "SELECT CAST(subj AS BIGINT) AS subj, CAST(pred AS BIGINT) AS pred, "
+        "CAST(obj AS BIGINT) AS obj, CAST(rel_group AS BIGINT) AS rel_group "
+        f"FROM (VALUES {rows}) AS t(subj, pred, obj, rel_group)"
+    )
+
+
+def _concrete_oracle() -> str:
+    from subont.fixtures import EXPECTED_CONCRETE_TRIPLES
+
+    rows = ", ".join(
+        f"({s}, {p}, {-1 if o is None else o}, {g}, '{'' if v is None else v}')"
+        for s, p, o, g, v in sorted(
+            EXPECTED_CONCRETE_TRIPLES, key=lambda r: (r[0], r[1], r[2] or -1, r[3])
+        )
+    )
+    return (
+        "SELECT CAST(subj AS BIGINT) AS subj, CAST(pred AS BIGINT) AS pred, "
+        "CAST(obj AS BIGINT) AS obj, CAST(rel_group AS BIGINT) AS rel_group, "
+        f"CAST(value AS VARCHAR) AS value FROM (VALUES {rows}) "
+        "AS t(subj, pred, obj, rel_group, value)"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -862,7 +923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_neardup_embedding,
         # end-to-end pipelines
         "kg_corpus_triples": q_kg_corpus,
-        "subontology_fixture_triples": q_subontology_fixture,  # rows-only
+        "subontology_fixture_triples": q_subontology_fixture,
+        "concrete_values_triples": q_concrete_values,
     }
 
 
@@ -901,5 +963,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_search": _ivf_search_oracle(),
         "dedup_embedding_cosine": _neardup_oracle(),
         "kg_corpus_triples": _kg_oracle_sql(KG_N, KG_NC),
-        # subontology_fixture_triples: rows-only (full extraction pipeline)
+        # the extraction pipeline's expected output is a fixed constant
+        # (the reference's own CI expectations) — literal VALUES oracles
+        "subontology_fixture_triples": _fixture_oracle(),
+        "concrete_values_triples": _concrete_oracle(),
     }

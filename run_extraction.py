@@ -32,18 +32,28 @@ def main() -> int:
     ap.add_argument("-output-rf2", dest="output_rf2", action="store_true")
     ap.add_argument("-rf2-snapshot-dir", dest="rf2_snapshot_dir", default=None)
     ap.add_argument("-verify-subontology", dest="verify", action="store_true")
+    ap.add_argument(
+        "-rf2-date",
+        dest="rf2_date",
+        default=None,
+        help="yyyyMMdd stamp for RF2 file names (default: today, matching "
+        "the reference's SIMPLE_DATE_FORMAT at RF2Printer.java:30,206)",
+    )
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     args = ap.parse_args()
+    import datetime as _dt
+
+    rf2_date = args.rf2_date or _dt.date.today().strftime("%Y%m%d")
 
     from pyspark.sql import functions as F
 
     from subont.owl_io import load_functional, render_annotations_df, render_axioms
-    from subont.pipeline import compute_subontology
+    from subont.pipeline import compute_subontology, defs_to_axioms
     from subont.rf2 import (
         owl_refset_rows,
-        relationship_rf2_rows,
+        relationship_rf2_files,
         triples_from_nnf,
-        write_rf2_tsv,
+        write_rf2_named,
     )
     from subont.rf2_extract import extract_rf2_snapshot, read_rf2_zip, write_owl_rf2_zip
     from subont.rf2_io import expand_subset, isa_pairs_from_relationships, load_subset, read_rf2_tsv
@@ -59,7 +69,7 @@ def main() -> int:
     # (SubontologyExtraction.java:72-79); exploded to a temp dir
     snapshot_dir = args.rf2_snapshot_dir
     if snapshot_dir and snapshot_dir.endswith(".zip"):
-        snapshot_dir = read_rf2_zip(spark, snapshot_dir)
+        snapshot_dir = read_rf2_zip(snapshot_dir)
 
     # << descendants expansion needs the snapshot's inferred IS-A rows
     if snapshot_dir and not subset.filter(F.col("with_descendants")).isEmpty():
@@ -81,10 +91,35 @@ def main() -> int:
             f.write(line + "\n")
 
     if args.output_rf2:
+        # subOntologyNNFs.owl (SubontologyExtraction.java:137): NNF rows
+        # rendered as a ⊑-only ontology next to subOntology.owl
+        from dataclasses import replace as _replace
+
+        nnf_ont = _replace(
+            res.sub, axioms=defs_to_axioms(res.nnf_rows), subprops=res.prop_defs,
+            annotations=res.sub.annotations.limit(0),
+        )
+        with open(os.path.join(args.output_path, "subOntologyNNFs.owl"), "w") as f:
+            for line in render_axioms(nnf_ont):
+                f.write(line + "\n")
+
         triples = triples_from_nnf(res.nnf_rows, res.prop_defs, res.sub)
         rf2_dir = os.path.join(args.output_path, "RF2", "Snapshot", "Terminology")
-        write_rf2_tsv(relationship_rf2_rows(triples), os.path.join(rf2_dir, "Relationship"))
-        write_rf2_tsv(owl_refset_rows(res.sub), os.path.join(rf2_dir, "OWLExpressionRefset"))
+        # both relationship files, reference names + shared id sequence
+        # (RF2Printer.java:206-216; the concrete file is always created,
+        # header-only when the ontology carries no concrete values)
+        standard, concrete = relationship_rf2_files(triples)
+        write_rf2_named(
+            standard, rf2_dir, f"sct2_Relationship_Snapshot_INT_{rf2_date}.txt"
+        )
+        write_rf2_named(
+            concrete, rf2_dir, f"sct2_RelationshipConcreteValues_Snapshot_INT_{rf2_date}.txt"
+        )
+        write_rf2_named(
+            owl_refset_rows(res.sub),
+            os.path.join(args.output_path, "RF2", "Snapshot", "Refset"),
+            f"sct2_sRefset_OWLExpressionSnapshot_INT_{rf2_date}.txt",
+        )
         # browser RF2 from the subontology's labels/axioms (OWLtoRF2Service)
         write_owl_rf2_zip(res.sub, os.path.join(args.output_path, "debug_OWLRefset.zip"))
         if snapshot_dir:
@@ -106,6 +141,22 @@ def main() -> int:
                 rc = 1
             else:
                 print(f"verified: {name}")
+        if rc:
+            # failure report files, MapPrinter parity
+            # (SubontologyExtraction.java:165-169: subOntDiffMap.txt /
+            # sourceOntDiffMap.txt list the per-class closure diffs)
+            diffs = d2.collect()
+            for side, fname in [
+                ("subontology_only", "subOntDiffMap.txt"),
+                ("source_only", "sourceOntDiffMap.txt"),
+            ]:
+                by_parent: dict = {}
+                for r in diffs:
+                    if r.side == side:
+                        by_parent.setdefault(r.parent, []).append(r.child)
+                with open(os.path.join(args.output_path, fname), "w") as f:
+                    for parent in sorted(by_parent):
+                        f.write(f"{parent}\t{sorted(by_parent[parent])}\n")
 
     print(f"done in {time.time() - t0:.1f}s → {args.output_path}")
     return rc

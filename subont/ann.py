@@ -141,7 +141,7 @@ def embedding_neardup_pairs(
     # memory blowup observed at default heap).  The assignment table
     # itself is two columns — checkpointing it costs one tiny job and
     # keeps the join plan linear in dim.
-    assigned = ivf_assign(embeddings, centroids).localCheckpoint(eager=True)
+    assigned = ivf_assign(embeddings, centroids).localCheckpoint(eager=False)
     side = embeddings.join(assigned, "vec_id")
     a = side.select(
         F.col("cluster"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb")

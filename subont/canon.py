@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 
 def _chk(df: DataFrame) -> DataFrame:
-    return df.localCheckpoint(eager=True)
+    return df.localCheckpoint(eager=False)
 
 
 def connected_components(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
@@ -125,7 +125,7 @@ def canonical_map(statements: DataFrame) -> DataFrame:
     ents = ents.withColumn("root", lex_root(F.col("ent"))).withColumn(
         "rid", entity_id(F.col("root"))
     )
-    ents = ents.localCheckpoint(eager=True)
+    ents = ents.localCheckpoint(eager=False)
 
     # the root is a pure function of the surface form, so cross-root
     # edges need no join at all — one projection over the statements

@@ -43,8 +43,8 @@ from pyspark.sql import functions as F
 from .model import Ontology
 
 
-def _chk(df: DataFrame) -> DataFrame:
-    return df.localCheckpoint(eager=True)
+from .util import chk as _chk
+from .util import chk_n as _chk_n
 
 
 def transitive_closure(
@@ -89,8 +89,8 @@ def transitive_closure(
             .distinct()
             .join(closure, ["desc", "anc"], "left_anti")
         )
-        delta = _chk(delta)
-        if delta.isEmpty():
+        delta, n = _chk_n(delta)
+        if n == 0:
             break
         closure = closure.unionByName(delta)
     else:
@@ -185,16 +185,30 @@ class Classified:
 
 def _pv_conjuncts(ont: Ontology) -> DataFrame:
     """(pv_id, role_id, kind, cref): simple filler as a single 'c'
-    conjunct, complex filler exploded."""
+    conjunct, complex filler exploded.  A data PV's literal becomes a
+    value-hash pseudo-conjunct ('v' kind): literals subsume only on
+    EQUALITY, so the coverage test's eq-match path gives exactly
+    DataHasValue(r1,v) ⊑ DataHasValue(r2,v) ⟸ r1 ⊑* r2 (the closure
+    never relates value hashes, so the ⊑-match path can't fire)."""
     simple = ont.pvs.filter(F.col("filler_concept").isNotNull()).select(
         "pv_id", "role_id", F.lit("c").alias("kind"), F.col("filler_concept").alias("cref")
     )
+    data = ont.pvs.filter(F.col("is_data")).select(
+        "pv_id",
+        "role_id",
+        F.lit("v").alias("kind"),
+        (
+            -F.conv(
+                F.substring(F.md5(F.concat(F.lit("lit|"), F.col("value"))), 1, 15), 16, 10
+            ).cast("long").bitwiseOR(F.lit(1))
+        ).alias("cref"),
+    )
     complex_ = (
-        ont.pvs.filter(F.col("filler_concept").isNull())
+        ont.pvs.filter(F.col("filler_concept").isNull() & ~F.col("is_data"))
         .select("pv_id", "role_id", F.explode("filler_refs").alias("r"))
         .select("pv_id", "role_id", F.col("r.kind").alias("kind"), F.col("r.ref_id").alias("cref"))
     )
-    return simple.unionByName(complex_)
+    return simple.unionByName(data).unionByName(complex_)
 
 
 def _covered_pairs(
@@ -262,7 +276,7 @@ def classify(
         F.col("desc").alias("r_child"), F.col("anc").alias("r_parent")
     )
 
-    pv_conj = _pv_conjuncts(ont).localCheckpoint(eager=True)
+    pv_conj = _pv_conjuncts(ont).localCheckpoint(eager=False)
     pv_names = ont.pvs.select("pv_id").distinct()
     gci_names = ont.axioms.filter(F.col("is_gci")).select(F.col("sub_id").alias("gci_id")).distinct()
 
@@ -270,7 +284,7 @@ def classify(
         ont.axioms.filter(F.col("is_equiv"))
         .select("axiom_id", "sub_id", F.explode("rhs").alias("r"))
         .select("axiom_id", "sub_id", F.col("r.kind").alias("kind"), F.col("r.ref_id").alias("cref"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     # chains: r∘s ⊑ t, plus transitivity as r∘r ⊑ r
@@ -280,10 +294,10 @@ def classify(
             F.col("role_id").alias("left_role"),
             F.col("role_id").alias("right_role"),
         )
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     simple_pvs = ont.pvs.filter(F.col("filler_concept").isNotNull()).select(
         "pv_id", "role_id", "filler_concept"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     closure = transitive_closure(edges, seed_closure=seed.closure if seed is not None else None)
     have_chains = not chains.isEmpty()  # hoisted: one action, not one per round
@@ -386,8 +400,8 @@ def classify(
             .distinct()
             .join(closure, (F.col("child") == closure.desc) & (F.col("parent") == closure.anc), "left_anti")
         )
-        new_edges = new_edges.localCheckpoint(eager=True)
-        if new_edges.isEmpty():
+        new_edges, n_new = _chk_n(new_edges)
+        if n_new == 0:
             break
         closure = transitive_closure(
             new_edges.select("child", "parent"), seed_closure=closure
@@ -406,8 +420,8 @@ def classify(
         if not cyc.isEmpty():
             raise ValueError("equivalent-class cycle detected; unsupported (reference assumes none)")
 
-    closure = closure.localCheckpoint(eager=True)
-    direct = derive_direct_edges(closure).localCheckpoint(eager=True)
+    closure = closure.localCheckpoint(eager=False)
+    direct = derive_direct_edges(closure).localCheckpoint(eager=False)
     non_primitive = (
         ont.axioms.filter(F.col("is_equiv")).select(F.col("sub_id").alias("id"))
         .unionByName(pv_names.select(F.col("pv_id").alias("id")))
@@ -416,8 +430,8 @@ def classify(
     return Classified(
         closure=closure,
         direct=direct,
-        non_primitive=non_primitive.localCheckpoint(eager=True),
-        prop_closure=prop_closure.localCheckpoint(eager=True),
-        pv_names=pv_names.localCheckpoint(eager=True),
-        gci_names=gci_names.localCheckpoint(eager=True),
+        non_primitive=non_primitive.localCheckpoint(eager=False),
+        prop_closure=prop_closure.localCheckpoint(eager=False),
+        pv_names=pv_names.localCheckpoint(eager=False),
+        gci_names=gci_names.localCheckpoint(eager=False),
     )

@@ -57,8 +57,8 @@ class Defs:
     new_pvs: DataFrame       # PVS_SCHEMA rows minted by D6 rebuilds
 
 
-def _chk(df: DataFrame) -> DataFrame:
-    return df.localCheckpoint(eager=True)
+from .util import chk as _chk
+from .util import chk_n as _chk_n
 
 
 def closest_primitive_ancestors(
@@ -82,10 +82,10 @@ def closest_primitive_ancestors(
         prim = parents.join(nonprim, F.col("node") == F.col("id"), "left_anti")
         nonprim_parents = parents.join(prim, ["gid", "node"], "left_anti")
         out = prim if out is None else out.unionByName(prim)
-        frontier = _chk(nonprim_parents.join(visited, ["gid", "node"], "left_anti"))
-        if frontier.isEmpty():
+        frontier, n = _chk_n(nonprim_parents.join(visited, ["gid", "node"], "left_anti"))
+        if n == 0:
             break
-        visited = _chk(visited.unionByName(frontier))
+        visited = visited.unionByName(frontier)  # lazy union of checkpointed deltas
     else:
         raise RuntimeError("closest_primitive_ancestors: max_depth exceeded")
     return out.select("gid", F.col("node").alias("prim")).distinct()
@@ -102,10 +102,13 @@ def _rebuild_role_groups(
     the rebuilt filler, as the reference only re-adds PV fillers
     (DefinitionGenerator.java:49-62 'NAMED CLASS FOUND IN ROLE GROUP!')."""
     joined = pv_rows.join(ont.pvs, "pv_id")
-    simple = joined.filter(F.col("filler_concept").isNotNull()).select(
-        "sub_id", "axiom_id", "is_equiv", "pv_id"
-    )
-    groups = joined.filter(F.col("filler_concept").isNull())
+    # data PVs have a NULL filler but are NOT groups — pass through like
+    # simple PVs (the reference's group walk only descends object
+    # restrictions, DefinitionGenerator.java:41-69)
+    simple = joined.filter(
+        F.col("filler_concept").isNotNull() | F.col("is_data")
+    ).select("sub_id", "axiom_id", "is_equiv", "pv_id")
+    groups = joined.filter(F.col("filler_concept").isNull() & ~F.col("is_data"))
     if groups.isEmpty():
         return pv_rows, ont.pvs.limit(0)
 
@@ -157,6 +160,8 @@ def _rebuild_role_groups(
             F.col("role_id"),
             F.lit(None).cast("long").alias("filler_concept"),
             F.expr("transform(member_ids, x -> struct('p' as kind, x as ref_id))").alias("filler_refs"),
+            F.lit(False).alias("is_data"),
+            F.lit(None).cast("string").alias("value"),
         )
         .distinct()
     )

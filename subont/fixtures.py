@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from .model import And, Ontology, OntologyBuilder, Some
+from .model import And, Has, Ontology, OntologyBuilder, Some
 
 FOCUS = 362969004
 
@@ -72,6 +72,70 @@ EXPECTED_TRIPLES = frozenset(
         (363698007, 116680003, 762705008, 0),
     }
 )
+
+# ---------------------------------------------------------------------------
+# Concrete-domain fixture (data-has-value).  Real SNOMED releases (2021+)
+# define clinical drugs with concrete strength/count values; the reference
+# names OWLDataHasValue like any PV (IntroducedNameHandler.java:77) and
+# routes its relationship rows to sct2_RelationshipConcreteValues
+# (RF2Printer.java:230).  Public SCTIDs: 763158003 |Medicinal product|,
+# 732943007 |Has BoSS|, 1142135004 |Has presentation strength numerator
+# value|, 1142139005 |Count of base of active ingredient|, 372687004
+# |Amoxicillin|.
+# ---------------------------------------------------------------------------
+
+CONCRETE_FOCUS = 781087000
+
+CONCRETE_STRENGTH = '"250"^^xsd:decimal'
+CONCRETE_COUNT = '"1"^^xsd:integer'
+
+
+def concrete_ontology(spark: SparkSession) -> Ontology:
+    b = OntologyBuilder()
+    b.add_subclass(763158003, 138875005)
+    b.add_subclass(372687004, 138875005)
+    # clinical drug: role group mixing an object PV and a data PV, plus
+    # an ungrouped count data PV
+    b.add_equiv(
+        CONCRETE_FOCUS,
+        And(
+            [
+                763158003,
+                Some(
+                    609096000,
+                    And(
+                        [
+                            Some(732943007, 372687004),
+                            Has(1142135004, CONCRETE_STRENGTH),
+                        ]
+                    ),
+                ),
+                Has(1142139005, CONCRETE_COUNT),
+            ]
+        ),
+    )
+    b.add_subproperty(732943007, 762705008)
+    b.add_subproperty(1142135004, 762706009, data=True)
+    b.add_subproperty(1142139005, 762706009, data=True)
+    b.add_subclass(762705008, 410662002)
+    b.add_subclass(762706009, 410662002)
+    b.add_subclass(410662002, 900000000000441003)
+    b.add_subclass(900000000000441003, 138875005)
+    return b.build(spark)
+
+
+# NNF triples for CONCRETE_FOCUS: proximal parent + grouped (object,
+# concrete) pair + ungrouped concrete row.  value uses the RF2 encoding
+# ('#' numeric prefix — snomed-owl-toolkit Relationship value semantics).
+EXPECTED_CONCRETE_TRIPLES = frozenset(
+    {
+        (CONCRETE_FOCUS, 116680003, 763158003, 0, None),
+        (CONCRETE_FOCUS, 732943007, 372687004, 1, None),
+        (CONCRETE_FOCUS, 1142135004, None, 1, "#250"),
+        (CONCRETE_FOCUS, 1142139005, None, 0, "#1"),
+    }
+)
+
 
 # Parent map asserted verbatim at SubontologyExtractionTest.java:60-69.
 EXPECTED_PARENTS = {

@@ -66,14 +66,19 @@ def build_kg(spark: SparkSession, src: DataFrame, min_score: float = 0.5) -> KGR
 
     stmts = extract_statements(src, min_score=min_score).persist(StorageLevel.MEMORY_AND_DISK)
     stmts.count()  # materialize eagerly (like the checkpoint it replaces)
-    cmap = canonical_map(stmts).localCheckpoint(eager=True)
+    cmap = canonical_map(stmts).localCheckpoint(eager=False)
     canon = canonicalize_statements(stmts, cmap)
 
+    # the concept dimension is broadcast-sized (distinct canonical
+    # surface forms); materialize it ONCE — downstream name joins
+    # (subject + object sides) otherwise re-derive the union+distinct
+    # over the statement store per consumer
     concepts = (
         canon.select(F.col("arg1").alias("ent"))
         .unionByName(canon.select(F.col("arg2").alias("ent")))
         .distinct()
         .withColumn("concept_id", entity_id(F.col("ent")))
+        .localCheckpoint(eager=False)
     )
 
     # the edge relation is the `hop` side of EVERY closure round and the
@@ -84,7 +89,7 @@ def build_kg(spark: SparkSession, src: DataFrame, min_score: float = 0.5) -> KGR
         .select(entity_id(F.col("arg1")).alias("child"), entity_id(F.col("arg2")).alias("parent"))
         .filter(F.col("child") != F.col("parent"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     closure = transitive_closure(isa_edges)
     direct = derive_direct_edges(closure, edges=isa_edges)
@@ -97,7 +102,7 @@ def build_kg(spark: SparkSession, src: DataFrame, min_score: float = 0.5) -> KGR
             entity_id(F.col("arg2")).alias("obj"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # most-specific filler per (subj, pred): antichain reduction over the
     # IS-A closure, the reference's PV redundancy elimination semantics
@@ -147,7 +152,7 @@ def build_kg_resumable(spark: SparkSession, src: DataFrame, workdir: str, min_sc
             .select(entity_id(F.col("arg1")).alias("child"), entity_id(F.col("arg2")).alias("parent"))
             .filter(F.col("child") != F.col("parent"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
 
     def _closure():

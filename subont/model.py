@@ -91,6 +91,13 @@ PVS_SCHEMA = T.StructType(
         T.StructField("role_id", T.LongType(), False),
         T.StructField("filler_concept", T.LongType(), True),
         T.StructField("filler_refs", T.ArrayType(REF_STRUCT, False), True),
+        # concrete-domain (data-has-value) restrictions: the reference
+        # names OWLDataHasValue expressions exactly like object PVs
+        # (IntroducedNameHandler.java:77) and routes their relationship
+        # rows to a second RF2 file (RF2Printer.java:230).  value holds
+        # the OWL literal verbatim (e.g. '"1"^^xsd:integer').
+        T.StructField("is_data", T.BooleanType(), False),
+        T.StructField("value", T.StringType(), True),
     ]
 )
 
@@ -133,7 +140,22 @@ class And:
         self.members = list(members)
 
 
-Expr = Union[int, Some, And]
+class Has:
+    """Concrete-domain restriction ``DataHasValue(role, literal)``.
+
+    value: the OWL literal verbatim, e.g. '"1"^^xsd:integer' or
+    '"mg"^^xsd:string' (reference: OWLDataHasValue consumed at
+    DefinitionGenerator.java:52-53, named at IntroducedNameHandler.java:77).
+    """
+
+    __slots__ = ("role", "value")
+
+    def __init__(self, role: int, value: str):
+        self.role = role
+        self.value = value
+
+
+Expr = Union[int, Some, And, "Has"]
 
 
 def _ref_token(kind: str, ref_id: int) -> str:
@@ -154,8 +176,17 @@ def pv_hash_input(role: int, refs: list[tuple[str, int]]) -> str:
     return f"pv|{role}|" + "&".join(_sorted_tokens(refs))
 
 
-def pv_id_for(expr: "Some") -> int:
+def data_pv_hash_input(role: int, value: str) -> str:
+    """Separate salt from object PVs so a data PV can never collide with
+    an ∃-restriction id (the object-PV formula is a round-1 invariant
+    reproduced in Spark SQL — do not change either)."""
+    return f"pvd|{role}|{value}"
+
+
+def pv_id_for(expr) -> int:
     """Content-hash id of a (possibly nested) restriction, bottom-up."""
+    if isinstance(expr, Has):
+        return _hash60(data_pv_hash_input(expr.role, expr.value))
     if isinstance(expr.filler, int):
         refs = [("c", expr.filler)]
     else:
@@ -206,6 +237,15 @@ class OntologyBuilder:
         if isinstance(expr, int):
             self.concepts.add(expr)
             return ("c", expr)
+        if isinstance(expr, Has):
+            pid = pv_id_for(expr)
+            if pid not in self.pvs:
+                self.data_properties.add(expr.role)
+                self.pvs[pid] = dict(
+                    pv_id=pid, role_id=expr.role, filler_concept=None,
+                    filler_refs=None, is_data=True, value=expr.value,
+                )
+            return ("p", pid)
         if isinstance(expr, Some):
             pid = pv_id_for(expr)
             if pid not in self.pvs:
@@ -213,7 +253,8 @@ class OntologyBuilder:
                 if isinstance(expr.filler, int):
                     self.concepts.add(expr.filler)
                     self.pvs[pid] = dict(
-                        pv_id=pid, role_id=expr.role, filler_concept=expr.filler, filler_refs=None
+                        pv_id=pid, role_id=expr.role, filler_concept=expr.filler,
+                        filler_refs=None, is_data=False, value=None,
                     )
                 else:
                     members = expr.filler.members if isinstance(expr.filler, And) else [expr.filler]
@@ -223,6 +264,8 @@ class OntologyBuilder:
                         role_id=expr.role,
                         filler_concept=None,
                         filler_refs=[dict(kind=k, ref_id=r) for k, r in refs],
+                        is_data=False,
+                        value=None,
                     )
             return ("p", pid)
         raise TypeError(f"cannot reify {expr!r} as a conjunct")
@@ -406,6 +449,8 @@ class Ontology:
             .select(F.col("r.ref_id").alias("pv_id"))
             .distinct()
         )
+        from .util import chk_n
+
         seen = direct
         frontier = direct
         for _ in range(8):
@@ -417,9 +462,10 @@ class Ontology:
                 .distinct()
                 .join(seen, "pv_id", "left_anti")
             )
-            if nxt.isEmpty():
+            nxt, n = chk_n(nxt)  # one job: checkpointed delta + emptiness
+            if n == 0:
                 break
-            seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+            seen = seen.unionByName(nxt)  # lazy union of checkpointed deltas
             frontier = nxt
         return seen
 

@@ -51,8 +51,8 @@ from pyspark.sql import functions as F
 from .model import Ontology
 
 
-def _chk(df: DataFrame) -> DataFrame:
-    return df.localCheckpoint(eager=True)
+from .util import chk as _chk
+from .util import chk_n as _chk_n
 
 
 def _pv_reducible(pvs: DataFrame, sigma: DataFrame, mode: str, max_depth: int = 8) -> DataFrame:
@@ -71,8 +71,15 @@ def _pv_reducible(pvs: DataFrame, sigma: DataFrame, mode: str, max_depth: int = 
         red = role_out | filler_red
     else:
         red = role_out & filler_red
-    resolved = base.select("pv_id", red.alias("red"))
-    pending = pvs.filter(F.col("filler_concept").isNull())
+    # data PVs: DataHasValue(r, v) ⊥-reduces iff r ∉ Σ (empty data role →
+    # unsatisfiable restriction); it never ⊤-reduces (a fixed literal is
+    # not trivialized by the universal interpretation)
+    data = pvs.filter(F.col("is_data")).join(s_role, "role_id", "left").select(
+        "pv_id",
+        (F.col("_rin").isNull() if mode == "bot" else F.lit(False)).alias("red"),
+    )
+    resolved = base.select("pv_id", red.alias("red")).unionByName(data)
+    pending = pvs.filter(F.col("filler_concept").isNull() & ~F.col("is_data"))
     for _ in range(max_depth):
         if pending.isEmpty():
             break
@@ -139,13 +146,51 @@ def _axiom_signature(axioms: DataFrame, ont: Ontology) -> DataFrame:
     return out.filter(F.col("id") > 0).distinct()
 
 
+def _reachable_pvs(axioms: DataFrame, ont: Ontology, max_depth: int = 8) -> DataFrame:
+    """(pv_id) transitively referenced by the given axioms — bounds the
+    per-round _pv_reducible evaluation to the candidate neighborhood."""
+    pv_ids = (
+        axioms.select(F.explode("rhs").alias("r"))
+        .filter(F.col("r.kind") == "p")
+        .select(F.col("r.ref_id").alias("pv_id"))
+        .distinct()
+    )
+    seen = pv_ids
+    for _ in range(max_depth):
+        if pv_ids.isEmpty():
+            break
+        nested = (
+            ont.pvs.join(pv_ids, "pv_id", "left_semi")
+            .filter(F.col("filler_concept").isNull() & ~F.col("is_data"))
+            .select(F.explode("filler_refs").alias("r"))
+            .filter(F.col("r.kind") == "p")
+            .select(F.col("r.ref_id").alias("pv_id"))
+            .distinct()
+            .join(seen, "pv_id", "left_anti")
+        )
+        pv_ids = nested
+        seen = seen.unionByName(nested)
+    return seen
+
+
 def _nonlocal_axioms(
-    ont: Ontology, sigma: DataFrame, mode: str
+    ont: Ontology, sigma: DataFrame, mode: str, candidates: DataFrame | None = None
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
     """Non-local members of each axiom family w.r.t. Σ.  Returns
-    (class_axioms, subprops, role_chains, transitive, reflexive)."""
-    pv_red = _pv_reducible(ont.pvs, sigma, mode)
-    conj = ont.axioms.select(
+    (class_axioms, subprops, role_chains, transitive, reflexive).
+
+    ``candidates``: restrict the class-axiom locality test (and the
+    nested _pv_reducible fixpoint) to these axiom_ids — the semi-naive
+    path: only axioms whose signature meets the round's Σ-delta can
+    change locality, so each round's work is proportional to the delta's
+    neighborhood, not |axioms| (the frontier discipline of closure.py)."""
+    axioms = ont.axioms
+    pvs = ont.pvs
+    if candidates is not None:
+        axioms = axioms.join(candidates, "axiom_id", "left_semi")
+        pvs = pvs.join(_reachable_pvs(axioms, ont), "pv_id", "left_semi")
+    pv_red = _pv_reducible(pvs, sigma, mode)
+    conj = axioms.select(
         "axiom_id", "sub_id", "is_equiv", "is_gci", "gci_super",
         F.explode("rhs").alias("r"),
     )
@@ -165,7 +210,7 @@ def _nonlocal_axioms(
     )
     sin = sigma.withColumn("_in", F.lit(True))
     meta = (
-        ont.axioms.select("axiom_id", "sub_id", "is_equiv", "is_gci", "gci_super")
+        axioms.select("axiom_id", "sub_id", "is_equiv", "is_gci", "gci_super")
         .join(per_ax, "axiom_id", "left")
         .join(sin.withColumnRenamed("id", "sub_id").withColumnRenamed("_in", "_sub_in"), "sub_id", "left")
         .join(sin.withColumnRenamed("id", "gci_super").withColumnRenamed("_in", "_sup_in"), "gci_super", "left")
@@ -207,16 +252,40 @@ def _nonlocal_axioms(
     return class_ax, sp, rc, tr, rf
 
 
-def locality_module(ont: Ontology, signature: DataFrame, mode: str = "bot", max_rounds: int = 64) -> Ontology:
+def locality_module(
+    ont: Ontology,
+    signature: DataFrame,
+    mode: str = "bot",
+    max_rounds: int = 64,
+    round_stats: list | None = None,
+) -> Ontology:
     """⊥- or ⊤-module: least set M of axioms s.t. every axiom non-local
     w.r.t. Σ ∪ sig(M) is in M.  ``signature``: one long column of entity
-    ids."""
+    ids.
+
+    Semi-naive: locality only depends on sig(axiom) ∩ Σ, and Σ grows
+    monotonically, so an axiom disjoint from the round's Σ-DELTA cannot
+    change status — each round tests only axioms whose signature meets
+    the delta (never the full axiom table; old shape was
+    O(rounds × |axioms|) with _pv_reducible's nested fixpoint inside).
+    ``round_stats`` (optional) collects the per-round candidate count —
+    the per-round work bound asserted in tests/test_module.py."""
     spark = ont.axioms.sparkSession
     sigma = _chk(signature.select(F.col(signature.columns[0]).alias("id")).distinct())
+    ax_sig = _chk(_axiom_signature(ont.axioms, ont))  # (axiom_id, id), once
     mod_ax = spark.createDataFrame([], "axiom_id long")
+    delta = sigma
+    sp = rc = tr = rf = None
     for _ in range(max_rounds):
-        class_ax, sp, rc, tr, rf = _nonlocal_axioms(ont, sigma, mode)
-        new_ax = class_ax.join(mod_ax, "axiom_id", "left_anti")
+        cand, n_cand = _chk_n(
+            ax_sig.join(delta, "id", "left_semi")
+            .select("axiom_id")
+            .distinct()
+            .join(mod_ax, "axiom_id", "left_anti")
+        )
+        if round_stats is not None:
+            round_stats.append(n_cand)
+        new_ax, sp, rc, tr, rf = _nonlocal_axioms(ont, sigma, mode, candidates=cand)
         new_sig_parts = [
             sp.select(F.col("child").alias("id")),
             sp.select(F.col("parent").alias("id")),
@@ -226,26 +295,30 @@ def locality_module(ont: Ontology, signature: DataFrame, mode: str = "bot", max_
             tr.select(F.col("role_id").alias("id")),
             rf.select(F.col("role_id").alias("id")),
         ]
-        if not new_ax.isEmpty():
-            added = ont.axioms.join(new_ax, "axiom_id", "left_semi")
-            new_sig_parts.append(_axiom_signature(added, ont).select("id"))
+        new_ax, n_new = _chk_n(new_ax)
+        if n_new:
+            # sig(added axioms) via the precomputed ax_sig (gci supers
+            # are included — _axiom_occurrences collects them)
             new_sig_parts.append(
-                added.filter(F.col("is_gci")).select(F.col("gci_super").alias("id"))
+                ax_sig.join(new_ax, "axiom_id", "left_semi").select("id")
             )
-            mod_ax = _chk(mod_ax.unionByName(new_ax).distinct())
+            mod_ax = mod_ax.unionByName(new_ax)  # disjoint: cand excluded mod_ax
         nsig = new_sig_parts[0]
         for p in new_sig_parts[1:]:
             nsig = nsig.unionByName(p)
-        nsig = nsig.filter(F.col("id") > 0).distinct().join(sigma, "id", "left_anti")
-        if nsig.isEmpty():
-            if new_ax.isEmpty():
+        nsig, n_sig = _chk_n(nsig.filter(F.col("id") > 0).distinct().join(sigma, "id", "left_anti"))
+        if n_sig == 0:
+            if n_new == 0:
                 break
+            delta = nsig  # axioms added but Σ unchanged: one empty-cand round to confirm
         else:
-            sigma = _chk(sigma.unionByName(nsig))
+            sigma = sigma.unionByName(nsig)  # lazy union of checkpointed deltas
+            delta = nsig
     else:
         raise RuntimeError("module extraction did not converge")
 
-    class_ax, sp, rc, tr, rf = _nonlocal_axioms(ont, sigma, mode)
+    # sp/rc/tr/rf were last evaluated against the FINAL Σ (the loop only
+    # exits on a round that added no Σ entities), so no extra full pass
     return replace(
         ont,
         axioms=_chk(ont.axioms.join(mod_ax, "axiom_id", "left_semi")),
@@ -267,7 +340,16 @@ def star_module(ont: Ontology, signature: DataFrame, max_alternations: int = 16)
     for _ in range(max_alternations):
         cur = locality_module(cur, signature, "bot")
         cur = locality_module(cur, signature, "top")
-        n = cur.axioms.count() + cur.subprops.count() + cur.role_chains.count()
+        # stability must cover EVERY axiom family the extraction can
+        # shrink — omitting transitive/reflexive roles would stop the
+        # alternation one pass early when only those shrank
+        n = (
+            cur.axioms.count()
+            + cur.subprops.count()
+            + cur.role_chains.count()
+            + cur.transitive_roles.count()
+            + cur.reflexive_roles.count()
+        )
         if n == prev_count:
             break
         prev_count = n

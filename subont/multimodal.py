@@ -67,11 +67,13 @@ def synth_media(spark: SparkSession, n: int, partitions: int | None = None) -> D
 
 
 def partition_media(df: DataFrame, buckets: int = 64) -> DataFrame:
-    """Partition by (modality, size bucket): blobs of similar size land
-    together, so no partition is dominated by one huge payload."""
-    return df.repartition(
-        buckets, F.col("modality"), F.pmod(F.length("payload"), F.lit(8))
-    )
+    """Partition by (modality, size bucket): blobs of similar magnitude
+    land together, so no partition mixes one huge payload with thousands
+    of tiny ones.  The size bucket is log2-width (floor(log2(bytes))):
+    doubling payload size moves one bucket, unlike a modulo which groups
+    by remainder rather than magnitude."""
+    size_bucket = F.floor(F.log2(F.greatest(F.length("payload"), F.lit(1))))
+    return df.repartition(buckets, F.col("modality"), size_bucket)
 
 
 def _fake_decode(payload: bytes, modality: str, dim: int) -> np.ndarray:

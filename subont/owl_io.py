@@ -19,7 +19,7 @@ import re
 
 from pyspark.sql import SparkSession
 
-from .model import And, Expr, Ontology, OntologyBuilder, Some
+from .model import And, Expr, Has, Ontology, OntologyBuilder, Some
 
 _ID_RE = re.compile(r"<?(?:http://snomed\.info/id/)?:?(\d+)>?$")
 
@@ -33,7 +33,30 @@ def _sctid(token: str) -> int:
 
 def _tokenize(s: str) -> list[str]:
     out, buf = [], []
-    for ch in s:
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == '"':
+            # a quoted literal (backslash escapes) plus any immediately
+            # following ^^datatype suffix is ONE token, even if the
+            # string itself contains spaces or parens
+            if buf:
+                out.append("".join(buf))
+                buf = []
+            j = i + 1
+            while j < n:
+                if s[j] == "\\":
+                    j += 2
+                    continue
+                if s[j] == '"':
+                    break
+                j += 1
+            j += 1  # past the closing quote
+            while j < n and not s[j].isspace() and s[j] not in "()":
+                j += 1
+            out.append(s[i:j])
+            i = j
+            continue
         if ch in "()":
             if buf:
                 out.append("".join(buf))
@@ -45,6 +68,7 @@ def _tokenize(s: str) -> list[str]:
                 buf = []
         else:
             buf.append(ch)
+        i += 1
     if buf:
         out.append("".join(buf))
     return out
@@ -83,6 +107,14 @@ class _Parser:
             filler = self.class_expr()
             self.expect(")")
             return Some(role, filler)
+        if t == "DataHasValue":
+            # concrete-domain restriction (the only data construct the
+            # reference consumes — SubOntologyExtractionHandler.java:233)
+            self.expect("(")
+            role = _sctid(self.next())
+            value = self.next()
+            self.expect(")")
+            return Has(role, value)
         return _sctid(t)
 
 
@@ -234,10 +266,22 @@ def render_pv_strings(pvs: DataFrame, max_depth: int = 8) -> DataFrame:
             F.lit(")"),
         ).alias("expr"),
     )
-    resolved = simple
-    pending = pvs.filter(F.col("filler_concept").isNull())
+    data = pvs.filter(F.col("is_data")).select(
+        "pv_id",
+        F.concat(
+            F.lit("DataHasValue("),
+            _iri_col(F.col("role_id")),
+            F.lit(" "),
+            F.col("value"),
+            F.lit(")"),
+        ).alias("expr"),
+    )
+    from .util import chk_n
+
+    resolved = simple.unionByName(data)
+    pending, n_pending = chk_n(pvs.filter(F.col("filler_concept").isNull() & ~F.col("is_data")))
     for _ in range(max_depth):
-        if pending.isEmpty():
+        if n_pending == 0:
             break
         exploded = pending.select(
             "pv_id", "role_id", F.posexplode("filler_refs").alias("pos", "r")
@@ -270,10 +314,12 @@ def render_pv_strings(pvs: DataFrame, max_depth: int = 8) -> DataFrame:
                 F.lit(")"),
             ).alias("expr"),
         )
-        if done.isEmpty():
+        done, n_done = chk_n(done)  # one job: checkpointed round delta
+        if n_done == 0:
             break
-        resolved = resolved.unionByName(done).localCheckpoint(eager=True)
+        resolved = resolved.unionByName(done)  # lazy union of checkpointed deltas
         pending = pending.join(done.select("pv_id"), "pv_id", "left_anti")
+        n_pending -= n_done  # done ⊆ pending, 1:1 on pv_id
     return resolved
 
 

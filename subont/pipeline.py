@@ -40,8 +40,8 @@ from .model import (
 from .reduce import eliminate_weaker
 
 
-def _chk(df: DataFrame) -> DataFrame:
-    return df.localCheckpoint(eager=True)
+from .util import chk as _chk
+from .util import chk_n as _chk_n
 
 
 def _ids(df: DataFrame, col: str) -> DataFrame:
@@ -173,16 +173,20 @@ def _expansion_loop(
         .select(F.col("pv_id").alias("id"))
         .join(desc_of_focus_anc, "id", "left_semi")
     )
-    frontier = _chk(init_cls.unionByName(init_pvs).distinct())
+    frontier, n_frontier = _chk_n(init_cls.unionByName(init_pvs).distinct())
     checked = frontier
     defined = spark.createDataFrame([], "id long")
     acc_rows = spark.createDataFrame([], DEF_SCHEMA)
     acc_gci_rows = spark.createDataFrame([], DEF_SCHEMA)
+    have_gci_rows = False
     new_pvs = ont.pvs.limit(0)
     nonprim = src_cl.non_primitive
+    # hoisted: skip the per-round attached-GCI probe when there are no
+    # GCIs at all (one job total instead of one per round)
+    have_gcis = not ont.axioms.filter(F.col("is_gci")).isEmpty()
 
     for _ in range(max_rounds):
-        if frontier.isEmpty():
+        if n_frontier == 0:
             break
         pvf = frontier.join(cur_pvs, frontier.id == cur_pvs.pv_id, "inner")
         simple_pvf = pvf.filter(F.col("filler_concept").isNotNull()).select(
@@ -204,8 +208,9 @@ def _expansion_loop(
         )
         # rule 2 fillers: batch-generate candidate defs for fillers+classes
         fillers = simple_pvf.select(F.col("filler").alias("id")).distinct()
-        to_generate = _chk(need_cls.unionByName(fillers).distinct())
-        if to_generate.isEmpty():
+        to_generate, n_gen = _chk_n(need_cls.unionByName(fillers).distinct())
+        n_newly = 0
+        if n_gen == 0:
             newly_defined = defined.limit(0)
             gen = None
         else:
@@ -217,16 +222,19 @@ def _expansion_loop(
             ).select(
                 F.col("filler").alias("id")
             ).join(defined, "id", "left_anti")
-            newly_defined = _chk(need_cls.unionByName(need_fillers).distinct())
+            newly_defined, n_newly = _chk_n(need_cls.unionByName(need_fillers).distinct())
 
-        if gen is not None and not newly_defined.isEmpty():
+        if gen is not None and n_newly > 0:
             kept_rows = gen.rows.join(
                 newly_defined.withColumnRenamed("id", "sub_id"), "sub_id", "left_semi"
             )
-            acc_rows = _chk(acc_rows.unionByName(kept_rows))
+            # gen.rows is checkpointed inside _finish_definition, and
+            # newly_defined above — the accumulators stay LAZY unions of
+            # checkpointed per-round deltas (no per-round re-materialize)
+            acc_rows = acc_rows.unionByName(kept_rows)
             new_pvs = new_pvs.unionByName(gen.new_pvs).distinct()
             cur_pvs = cur_pvs.unionByName(gen.new_pvs).distinct()
-            defined = _chk(defined.unionByName(newly_defined).distinct())
+            defined = defined.unionByName(newly_defined)  # disjoint by anti-join
 
             # P7: GCIs attached to newly defined classes (:421-432)
             gci_supers = ont.axioms.filter(F.col("is_gci")).select(
@@ -235,11 +243,12 @@ def _expansion_loop(
             attached = gci_supers.join(
                 newly_defined.withColumnRenamed("id", "gci_super"), "gci_super", "left_semi"
             )
-            if not attached.isEmpty():
+            if have_gcis and not attached.isEmpty():
                 gci_rows = gci_authoring_definitions(
                     ont, src_cl, attached.select("gci_id"), options
                 )
-                acc_gci_rows = _chk(acc_gci_rows.unionByName(gci_rows))
+                acc_gci_rows = acc_gci_rows.unionByName(_chk(gci_rows))
+                have_gci_rows = True
             else:
                 gci_rows = None
 
@@ -274,13 +283,13 @@ def _expansion_loop(
             nxt = spark.createDataFrame([], "id long")
 
         nxt = nxt.unionByName(complex_members).distinct().join(checked, "id", "left_anti")
-        frontier = _chk(nxt)
-        checked = _chk(checked.unionByName(frontier))
+        frontier, n_frontier = _chk_n(nxt)
+        checked = checked.unionByName(frontier)  # lazy union of checkpointed deltas
     else:
         raise RuntimeError("expansion loop did not converge")
 
     sup_axioms = defs_to_axioms(acc_rows)
-    if not acc_gci_rows.isEmpty():
+    if have_gci_rows:
         gci_super_map = ont.axioms.filter(F.col("is_gci")).select("sub_id", "gci_super").distinct()
         sup_axioms = sup_axioms.unionByName(
             defs_to_axioms(acc_gci_rows, is_gci=True, gci_super=gci_super_map)

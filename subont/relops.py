@@ -36,41 +36,56 @@ def asof_join(
     row (right.ts ≤ left.ts) for the same key.  Ties on equal ts resolve
     to the right row (right sorts before left at the same instant);
     among right rows at the same instant the greatest ``tiebreak`` value
-    wins (pass one for full determinism)."""
+    wins (pass one for full determinism).
+
+    The whole right payload is carried as ONE struct through a single
+    ``last(..., ignorenulls)`` window, so every carried column comes from
+    the SAME right row — per-column carries would mix rows whenever the
+    most recent right row holds a NULL in one payload column."""
     right_cols = right_cols or [c for c in right.columns if c not in (key, ts)]
-    lhs = left.withColumn("_side", F.lit(1))
-    for c in right_cols:
-        lhs = lhs.withColumn(f"{c}{suffix}", F.lit(None).cast(right.schema[c].dataType))
-    lhs = lhs.withColumn(f"{ts}{suffix}", F.lit(None).cast(right.schema[ts].dataType))
+    # tiebreak names a right column (accepts the suffixed output name too)
+    if tiebreak and tiebreak not in right.columns:
+        stripped = tiebreak[: -len(suffix)] if tiebreak.endswith(suffix) else tiebreak
+        if stripped in right.columns:
+            tiebreak = stripped
+        else:
+            raise ValueError(f"tiebreak {tiebreak!r} is not a right column")
+    payload = F.struct(
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.col(ts).alias(f"{ts}{suffix}"),
+    )
     rhs = right.select(
         F.col(key),
         F.col(ts),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
-        F.col(ts).alias(f"{ts}{suffix}"),
+        payload.alias("_rpay"),
+        *([F.col(tiebreak).alias("_tb")] if tiebreak else []),
     )
     for c in left.columns:
         if c not in (key, ts):
             rhs = rhs.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    merged = lhs.unionByName(rhs.select(lhs.columns))
+    pay_type = rhs.schema["_rpay"].dataType
+    lhs = left.withColumn("_side", F.lit(1)).withColumn(
+        "_rpay", F.lit(None).cast(pay_type)
+    )
+    if tiebreak:
+        lhs = lhs.withColumn("_tb", F.lit(None).cast(right.schema[tiebreak].dataType))
+    cols = [*left.columns, "_side", "_rpay"] + (["_tb"] if tiebreak else [])
+    merged = lhs.select(cols).unionByName(rhs.select(cols))
     order = [F.col(ts).asc(), F.col("_side").asc()]
     if tiebreak:
-        order.append(F.col(tiebreak).asc_nulls_first())
+        order.append(F.col("_tb").asc_nulls_first())
     w = (
         Window.partitionBy(key)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = merged.select(
-        *[c for c in left.columns],
-        F.col("_side"),
-        *[
-            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
-        F.last(F.col(f"{ts}{suffix}"), ignorenulls=True).over(w).alias(f"{ts}{suffix}"),
+    carried = merged.withColumn("_rpay", F.last("_rpay", ignorenulls=True).over(w))
+    return carried.filter(F.col("_side") == 1).select(
+        *left.columns,
+        *[F.col(f"_rpay.{c}{suffix}").alias(f"{c}{suffix}") for c in right_cols],
+        F.col(f"_rpay.{ts}{suffix}").alias(f"{ts}{suffix}"),
     )
-    return carried.filter(F.col("_side") == 1).drop("_side")
 
 
 def range_join_window(
@@ -84,15 +99,20 @@ def range_join_window(
     (optionally within the same ``key``).  Each row lands in its time
     band and the next (gap-sized bands), so every qualifying pair meets
     in exactly one band-equi-join — no global cross product."""
-    band = (F.unix_timestamp(F.col(ts)) / max_gap_seconds).cast("long")
+    # floor (not cast/truncate-toward-zero) so pre-1970 negative epochs
+    # band correctly; exact epoch double keeps sub-second inputs on the
+    # same arithmetic as the ≤-gap filter below.
+    def _band_of(c):
+        return F.floor(c.cast("timestamp").cast("double") / max_gap_seconds).cast("long")
+
     base_cols = ([key] if key else []) + [id_col, ts]
-    a = events.select(*base_cols).withColumn("_band", band)
+    a = events.select(*base_cols).withColumn("_band", _band_of(F.col(ts)))
     a = a.unionByName(a.withColumn("_band", F.col("_band") + 1))
     b = events.select(
         *([F.col(key)] if key else []),
         F.col(id_col).alias("_b_id"),
         F.col(ts).alias("_b_ts"),
-    ).withColumn("_band", (F.unix_timestamp(F.col("_b_ts")) / max_gap_seconds).cast("long"))
+    ).withColumn("_band", _band_of(F.col("_b_ts")))
     on = ["_band"] + ([key] if key else [])
     pairs = (
         a.join(b, on)

@@ -29,16 +29,36 @@ from pyspark.sql.window import Window
 from .model import CORE_MODULE, INFERRED_RELATIONSHIP, IS_A, MODIFIER_SOME, ROLE_GROUP, Ontology
 
 
+def _rf2_value_col(lit_col) -> F.Column:
+    """OWL literal → RF2 concrete value: numeric types get a '#' prefix,
+    strings keep surrounding double quotes — the public snomed-owl-toolkit
+    Relationship value encoding the reference writes via
+    rel.getValue().getRF2Value() (RF2Printer.java:252-254)."""
+    lex = F.regexp_extract(lit_col, r'^"((?:[^"\\]|\\.)*)"', 1)
+    dtype = F.regexp_extract(lit_col, r"\^\^(?:xsd:)?(\w+)$", 1)
+    numeric = dtype.isin(
+        "decimal", "integer", "int", "long", "float", "double", "nonNegativeInteger"
+    )
+    return F.when(numeric, F.concat(F.lit("#"), lex)).otherwise(
+        F.concat(F.lit('"'), lex, F.lit('"'))
+    )
+
+
 def triples_from_nnf(nnf_rows: DataFrame, prop_defs: DataFrame, ont: Ontology) -> DataFrame:
-    """P14: (subj, pred, obj, rel_group) from NNF def rows + property defs.
+    """P14: (subj, pred, obj, rel_group, value) from NNF def rows +
+    property defs.  Object rows carry value=NULL; concrete-domain rows
+    (data PVs, RF2Printer.java:230 rel.isConcrete()) carry obj=NULL and
+    the RF2-encoded value.
 
     Group numbering: dense_rank of the group PV id within each subject,
     starting at 1 (ungrouped = 0) — deterministic under retries."""
+    nullv = F.lit(None).cast("string")
     isa = nnf_rows.filter(F.col("kind") == "c").select(
         F.col("sub_id").alias("subj"),
         F.lit(IS_A).cast("long").alias("pred"),
         F.col("ref_id").alias("obj"),
         F.lit(0).alias("rel_group"),
+        nullv.alias("value"),
     )
     pv_rows = nnf_rows.filter(F.col("kind") == "p").join(
         ont.pvs.withColumnRenamed("pv_id", "ref_id"), "ref_id"
@@ -50,8 +70,18 @@ def triples_from_nnf(nnf_rows: DataFrame, prop_defs: DataFrame, ont: Ontology) -
         F.col("role_id").alias("pred"),
         F.col("filler_concept").alias("obj"),
         F.lit(0).alias("rel_group"),
+        nullv.alias("value"),
     )
-    groups = pv_rows.filter((F.col("role_id") == ROLE_GROUP) & F.col("filler_concept").isNull())
+    concrete = pv_rows.filter(F.col("is_data")).select(
+        F.col("sub_id").alias("subj"),
+        F.col("role_id").alias("pred"),
+        F.lit(None).cast("long").alias("obj"),
+        F.lit(0).alias("rel_group"),
+        _rf2_value_col(F.col("value")).alias("value"),
+    )
+    groups = pv_rows.filter(
+        (F.col("role_id") == ROLE_GROUP) & F.col("filler_concept").isNull() & ~F.col("is_data")
+    )
     w = Window.partitionBy("sub_id").orderBy("ref_id")
     groups = groups.withColumn("rel_group", F.dense_rank().over(w))
     members = (
@@ -62,15 +92,18 @@ def triples_from_nnf(nnf_rows: DataFrame, prop_defs: DataFrame, ont: Ontology) -
                 F.col("pv_id").alias("m_id"),
                 F.col("role_id").alias("m_role"),
                 F.col("filler_concept").alias("m_filler"),
+                F.col("is_data").alias("m_is_data"),
+                F.col("value").alias("m_value"),
             ),
             F.col("m.ref_id") == F.col("m_id"),
         )
-        .filter(F.col("m_filler").isNotNull())
+        .filter(F.col("m_filler").isNotNull() | F.col("m_is_data"))
         .select(
             F.col("sub_id").alias("subj"),
             F.col("m_role").alias("pred"),
             F.col("m_filler").alias("obj"),
             F.col("rel_group"),
+            F.when(F.col("m_is_data"), _rf2_value_col(F.col("m_value"))).alias("value"),
         )
     )
     # a role-group around a single bare nested PV (RG some (R some C))
@@ -80,8 +113,15 @@ def triples_from_nnf(nnf_rows: DataFrame, prop_defs: DataFrame, ont: Ontology) -
         F.lit(IS_A).cast("long").alias("pred"),
         F.col("parent").alias("obj"),
         F.lit(0).alias("rel_group"),
+        nullv.alias("value"),
     )
-    return isa.unionByName(ungrouped).unionByName(members).unionByName(props).distinct()
+    return (
+        isa.unionByName(ungrouped)
+        .unionByName(concrete)
+        .unionByName(members)
+        .unionByName(props)
+        .distinct()
+    )
 
 
 # --- Verhoeff check digit (public algorithm; tables mirror
@@ -139,7 +179,7 @@ def _global_row_number(df: DataFrame, order_cols: list[str], out_col: str = "rn"
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
     )
-    ordered = ordered.localCheckpoint(eager=True)  # pin partition layout for both passes
+    ordered = ordered.localCheckpoint(eager=False)  # pin partition layout for both passes
     counts = {r["_pid"]: r["n"] for r in ordered.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):
@@ -171,7 +211,10 @@ def with_sctids(
 
     Scale: numbering is the two-phase partitioned scheme — no global
     unpartitioned window single-tasking the relationship table."""
-    base = _global_row_number(triples, ["subj", "pred", "obj", "rel_group"]).withColumn(
+    order_cols = ["subj", "pred", "obj", "rel_group"] + (
+        ["value"] if "value" in triples.columns else []
+    )
+    base = _global_row_number(triples, order_cols).withColumn(
         "id_body",
         F.concat(
             (F.col("rn") + F.lit(offset)).cast("string"),
@@ -182,21 +225,63 @@ def with_sctids(
     return base.withColumn("rel_id", verhoeff_udf(F.col("id_body"))).drop("rn", "id_body")
 
 
-def relationship_rf2_rows(triples: DataFrame, effective_time: str = "") -> DataFrame:
-    """S8: full RF2 relationship rows with the reference's hard-coded
-    constants (RF2Printer.java:244-272)."""
-    return with_sctids(triples).select(
+def relationship_rf2_files(
+    triples: DataFrame, effective_time: str = ""
+) -> tuple[DataFrame, DataFrame]:
+    """S8: both RF2 relationship files with the reference's hard-coded
+    constants (RF2Printer.java:244-272) — (standard, concrete).  One
+    shared id sequence feeds both, exactly like the single SCTIDSource
+    the reference passes to both writers (RF2Printer.java:204,230).  The
+    concrete file's destination column is ``value`` (header at :216)."""
+    if "value" not in triples.columns:
+        triples = triples.withColumn("value", F.lit(None).cast("string"))
+    base = with_sctids(triples).select(
         F.col("rel_id").alias("id"),
         F.lit(effective_time).alias("effectiveTime"),
         F.lit("1").alias("active"),
         F.lit(str(CORE_MODULE)).alias("moduleId"),
         F.col("subj").cast("string").alias("sourceId"),
         F.col("obj").cast("string").alias("destinationId"),
+        F.col("value"),
         F.col("rel_group").cast("string").alias("relationshipGroup"),
         F.col("pred").cast("string").alias("typeId"),
         F.lit(str(INFERRED_RELATIONSHIP)).alias("characteristicTypeId"),
         F.lit(str(MODIFIER_SOME)).alias("modifierId"),
     )
+    common_tail = ["relationshipGroup", "typeId", "characteristicTypeId", "modifierId"]
+    standard = base.filter(F.col("value").isNull()).select(
+        "id", "effectiveTime", "active", "moduleId", "sourceId", "destinationId", *common_tail
+    )
+    concrete = base.filter(F.col("value").isNotNull()).select(
+        "id", "effectiveTime", "active", "moduleId", "sourceId", "value", *common_tail
+    )
+    return standard, concrete
+
+
+def relationship_rf2_rows(triples: DataFrame, effective_time: str = "") -> DataFrame:
+    """S8 standard file only (kept for callers of object-only triple
+    sets; concrete-domain rows route to the second file via
+    ``relationship_rf2_files``)."""
+    return relationship_rf2_files(triples, effective_time)[0]
+
+
+def write_rf2_named(df: DataFrame, directory: str, filename: str) -> str:
+    """Reference-layout sink: write the TSV through Spark, then surface
+    the single part file under the reference's exact file name (e.g.
+    ``sct2_Relationship_Snapshot_INT_<yyyyMMdd>.txt`` —
+    RF2Printer.java:206-207).  Returns the final path."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    staging = _os.path.join(directory, f".{filename}.spark")
+    write_rf2_tsv(df, staging)
+    part = _glob.glob(_os.path.join(staging, "part-*.csv"))[0]
+    final = _os.path.join(directory, filename)
+    _os.makedirs(directory, exist_ok=True)
+    _shutil.move(part, final)
+    _shutil.rmtree(staging, ignore_errors=True)
+    return final
 
 
 def write_rf2_tsv(df: DataFrame, path: str) -> None:

@@ -364,12 +364,17 @@ def write_owl_rf2_zip(ont: Ontology, zip_path: str, date_string: str = "20180731
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def read_rf2_zip(spark: SparkSession, zip_path: str) -> str:
+def read_rf2_zip(zip_path: str) -> str:
     """Zip snapshot input (SubontologyExtraction.java:72-79 reads a
     zipped RF2 archive): extract to a temp dir and return its path for
-    the directory-based readers.  At production scale archives are
-    pre-exploded to object storage; this is CLI-parity only."""
+    the directory-based readers.  The extracted copy is removed at
+    process exit (atexit) so repeated CLI runs don't leak snapshot
+    copies under /tmp.  At production scale archives are pre-exploded
+    to object storage; this is CLI-parity only."""
+    import atexit
+
     tmp = tempfile.mkdtemp(prefix="rf2zip_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     with zipfile.ZipFile(zip_path) as zf:
         zf.extractall(tmp)
     return tmp

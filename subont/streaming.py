@@ -63,8 +63,17 @@ def stream_sessionize(events_stream: DataFrame, gap_minutes: int = 30) -> DataFr
     downstream) and opens a new one.  The trailing open session stays in
     state across micro-batches (exactly-once via the stream checkpoint).
 
-    Scale shape: state is per-user O(1) (three scalars); the shuffle
-    partitions by user_id like any streaming aggregation."""
+    Ordering: applyInPandasWithState gives NO ordering across Arrow
+    chunks, so all of a key's chunks are concatenated and sorted once
+    before the gap split.  Across micro-batches, an event older than the
+    open session's last_ts (late arrival past the state boundary) is
+    absorbed into the open session's count but never rewinds last_ts —
+    sessions already closed are immutable, the watermark-style policy.
+
+    Scale shape: state is per-user O(1) (three scalars); the per-batch
+    gap split is vectorized pandas (sort + diff + cumsum), no per-row
+    Python loop; the shuffle partitions by user_id like any streaming
+    aggregation."""
     import pandas as pd  # noqa: F401 (executor import)
 
     gap_seconds = gap_minutes * 60
@@ -78,17 +87,45 @@ def stream_sessionize(events_stream: DataFrame, gap_minutes: int = 30) -> DataFr
         else:
             last_ts = start_ts = None
             n = 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
         closed = []
-        for pdf in pdfs:
-            for ts in pdf.sort_values("ts")["ts"]:
-                ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
-                if last_ts is not None and (ts - last_ts).total_seconds() > gap_seconds:
-                    closed.append((user_id, start_ts, last_ts, n))
-                    start_ts, n = None, 0
-                if start_ts is None:
-                    start_ts = ts
-                last_ts = ts
-                n += 1
+        ts = (
+            pd.concat(chunks, ignore_index=True)["ts"].sort_values(ignore_index=True)
+            if chunks
+            else pd.Series([], dtype="datetime64[us]")
+        )
+        if last_ts is not None:
+            late = ts <= pd.Timestamp(last_ts)
+            n += int(late.sum())  # absorbed into the open session
+            ts = ts[~late].reset_index(drop=True)
+        if len(ts):
+            gaps = ts.diff().dt.total_seconds()
+            new_sess = gaps > gap_seconds
+            if last_ts is not None:
+                new_sess.iloc[0] = (ts.iloc[0] - pd.Timestamp(last_ts)).total_seconds() > gap_seconds
+            grp = new_sess.cumsum()
+            agg = (
+                pd.DataFrame({"ts": ts, "grp": grp})
+                .groupby("grp")["ts"]
+                .agg(["min", "max", "count"])
+                .reset_index(drop=True)
+            )
+            starts = list(agg["min"])
+            ends = list(agg["max"])
+            counts = [int(c) for c in agg["count"]]
+            if bool(new_sess.iloc[0]):  # False when last_ts is None (NaN gap)
+                # gap right at the batch boundary: the open session closes
+                # with no new events, group 0 starts a fresh session
+                closed.append((user_id, start_ts, last_ts, n))
+                start_ts, n = None, 0
+            # group 0 continues the open session (if one survives)
+            if start_ts is not None:
+                starts[0] = start_ts
+            counts[0] += n
+            closed.extend(
+                (user_id, starts[i], ends[i], counts[i]) for i in range(len(starts) - 1)
+            )
+            start_ts, last_ts, n = starts[-1], ends[-1], counts[-1]
         state.update((last_ts, start_ts, n))
         if closed:
             yield pd.DataFrame(

@@ -36,7 +36,7 @@ from .reduce import eliminate_stronger
 
 
 def _chk(df: DataFrame) -> DataFrame:
-    return df.localCheckpoint(eager=True)
+    return df.localCheckpoint(eager=False)
 
 
 def _normalized_defs(ont: Ontology, cl: Classified, focus: DataFrame, options) -> DataFrame:
@@ -208,17 +208,23 @@ def rename_union_ontology(
                 )
             ).alias("new_pv"),
         )
+        # data PVs are never 'affected' (their literal mentions no
+        # concept), so re-minted rows are always object PVs
         new_simple_rows = simple.select(
             F.col("new_pv").alias("pv_id"),
             "role_id",
             F.col("new_filler").alias("filler_concept"),
             F.lit(None).cast(pvs.schema["filler_refs"].dataType).alias("filler_refs"),
+            F.lit(False).alias("is_data"),
+            F.lit(None).cast("string").alias("value"),
         )
         new_complex_rows = done_complex.select(
             F.col("new_pv").alias("pv_id"),
             "role_id",
             F.lit(None).cast("long").alias("filler_concept"),
             F.col("refs").alias("filler_refs"),
+            F.lit(False).alias("is_data"),
+            F.lit(None).cast("string").alias("value"),
         )
         step_map = simple.select("old_pv", "new_pv").unionByName(
             done_complex.select("old_pv", "new_pv")
@@ -417,7 +423,12 @@ def verify_triple_integrity(triples: DataFrame, signature: DataFrame, roles: Dat
     be a signature concept / role.  Returns (entity_id, kind) orphans."""
     sig = signature.select(F.col("concept_id").alias("entity_id"))
     rids = roles.select(F.col("role_id").alias("entity_id"))
-    objs = triples.select(F.col("obj").alias("entity_id")).distinct().join(sig, "entity_id", "left_anti")
+    objs = (
+        triples.select(F.col("obj").alias("entity_id"))
+        .filter(F.col("entity_id").isNotNull())  # concrete rows carry value, not obj
+        .distinct()
+        .join(sig, "entity_id", "left_anti")
+    )
     preds = (
         triples.filter(F.col("pred") != IS_A)
         .select(F.col("pred").alias("entity_id"))

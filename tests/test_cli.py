@@ -32,6 +32,7 @@ def test_run_extraction_cli_zip_snapshot(spark, tmp_path, monkeypatch):
          "-output-path", out,
          "-output-rf2",
          "-rf2-snapshot-dir", zip_path,
+         "-rf2-date", "20250101",
          "--cores", "8"],
     )
     assert run_extraction.main() == 0
@@ -42,11 +43,27 @@ def test_run_extraction_cli_zip_snapshot(spark, tmp_path, monkeypatch):
     assert 'AnnotationAssertion(rdfs:comment <http://snomed.info/id/362969004> "Focus concept")' in owl_text
     assert "AnnotationAssertion(rdfs:label" in owl_text
 
-    # relationship sink reproduces the reference's golden triples
-    rel_part = glob.glob(os.path.join(out, "RF2", "Snapshot", "Terminology", "Relationship", "part-*.csv"))[0]
-    rows = [line.rstrip("\n").split("\t") for line in open(rel_part)][1:]
+    # relationship sink reproduces the reference's golden triples, under
+    # the reference's exact date-stamped file name (RF2Printer.java:206)
+    term = os.path.join(out, "RF2", "Snapshot", "Terminology")
+    rel_file = os.path.join(term, "sct2_Relationship_Snapshot_INT_20250101.txt")
+    rows = [line.rstrip("\n").split("\t") for line in open(rel_file)][1:]
     got = {(int(r[4]), int(r[7]), int(r[5]), int(r[6])) for r in rows}
     assert got == set(fixtures.EXPECTED_TRIPLES)
+
+    # concrete-values file always created (RF2Printer.java:207); the
+    # dummy fixture has no concrete values → header-only with the
+    # reference's `value` column replacing destinationId (:216)
+    conc_file = os.path.join(
+        term, "sct2_RelationshipConcreteValues_Snapshot_INT_20250101.txt"
+    )
+    conc_lines = open(conc_file).read().splitlines()
+    assert conc_lines[0].split("\t")[5] == "value"
+    assert len(conc_lines) == 1
+
+    # NNF ontology saved next to subOntology.owl (SubontologyExtraction.java:137)
+    nnf_text = open(os.path.join(out, "subOntologyNNFs.owl")).read()
+    assert "SubClassOf(" in nnf_text
 
     # five-file extraction present (S7) + OWL refset + browser zip (S9)
     for rel in [
@@ -55,7 +72,10 @@ def test_run_extraction_cli_zip_snapshot(spark, tmp_path, monkeypatch):
         "RF2/Snapshot/Terminology/sct2_TextDefinition_Snapshot-en",
         "RF2/Snapshot/Refset/Language/der2_cRefset_LanguageSnapshot-en",
         "RF2/Snapshot/Terminology/sct2_sRefset_OWLExpressionSnapshot",
-        "RF2/Snapshot/Terminology/OWLExpressionRefset",
     ]:
         assert glob.glob(os.path.join(out, rel, "part-*.csv")), rel
+    assert os.path.exists(
+        os.path.join(out, "RF2", "Snapshot", "Refset",
+                     "sct2_sRefset_OWLExpressionSnapshot_INT_20250101.txt")
+    )
     assert zipfile.ZipFile(os.path.join(out, "debug_OWLRefset.zip")).namelist()

@@ -63,6 +63,27 @@ def test_module_is_subset_and_monotone(spark):
     assert len(_axiom_keys(m2)) >= len(_axiom_keys(locality_module(ont, _sig(spark, [1]), "bot")))
 
 
+def test_locality_rounds_are_delta_bounded(spark):
+    """Semi-naive discipline: each round tests only axioms whose
+    signature meets the Σ-delta — never the whole axiom table again."""
+    b = OntologyBuilder()
+    # chain 1⊑2⊑…⊑6 forces multiple signature-growth rounds
+    for i in range(1, 6):
+        b.add_subclass(i, i + 1)
+    # 20 axioms fully disjoint from the chain's signature
+    for i in range(100, 120):
+        b.add_subclass(i, 999)
+    ont = b.build(spark)
+    stats: list[int] = []
+    m = locality_module(ont, _sig(spark, [1]), "bot", round_stats=stats)
+    assert {r.sub_id for r in m.axioms.collect()} == {1, 2, 3, 4, 5}
+    # round 1 candidates: only the axioms touching Σ0={1} (1 axiom),
+    # and NO round re-tests the 20 disjoint axioms
+    assert stats[0] == 1
+    assert max(stats) <= 2  # per-round work ∝ delta, not |axioms|=25
+    assert sum(stats) < ont.axioms.count()
+
+
 def test_star_module_preserves_entailments_dummy(spark):
     """Module property on the reference CI fixture: subsumptions over the
     module's named signature agree between module and full ontology."""
