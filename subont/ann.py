@@ -157,10 +157,51 @@ def embedding_neardup_pairs(
     )
 
 
+def ivf_assign_broadcast(
+    embeddings: DataFrame, centroids: dict[int, list[float]]
+) -> DataFrame:
+    """Production IVF assignment for LARGE codebooks: the centroid
+    matrix ships to executors inside the Arrow-batched function closure
+    (broadcast semantics) and scoring is one numpy matmul per batch —
+    no k×dim Catalyst expression tree, so k≫1000 codebooks plan in
+    constant size.  Ties break to the lowest centroid id like
+    ``ivf_assign`` (np.argmax returns the first maximum over the
+    id-sorted matrix).
+
+    ``ivf_assign`` (the CASE-cascade twin) stays the small-codebook /
+    DuckDB-oracle-portable variant; this is the scale path."""
+    import numpy as np
+
+    ids = sorted(centroids)
+    cmat = np.array([centroids[i] for i in ids], dtype=np.float64)
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    id_arr = np.array(ids, dtype=np.int64)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            emb = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(emb, axis=1, keepdims=True)
+            sims = (emb / norms) @ cmat.T
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "cluster": id_arr[np.argmax(sims, axis=1)].astype("int32"),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        score, "vec_id long, cluster int"
+    )
+
+
 def ivf_assign(embeddings: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
     """IVF bucket assignment: nearest centroid by cosine (argmax via a
     portable greatest/CASE cascade).  At scale, queries probe only their
-    bucket — the shuffle partitions by cluster."""
+    bucket — the shuffle partitions by cluster.  For codebooks beyond a
+    few hundred centroids use ``ivf_assign_broadcast`` (numpy scoring,
+    constant-size plan)."""
     cols = {cid: F.expr(cosine_expr("embedding", vec)) for cid, vec in centroids.items()}
     df = embeddings
     for cid, e in cols.items():

@@ -335,19 +335,53 @@ def _nnf_entity_ids(nnf_rows: DataFrame, prop_defs: DataFrame, ont: Ontology) ->
     return out.filter(F.col("id") > 0).distinct()
 
 
-def _populate_rbox(ont: Ontology, sig_roles: DataFrame) -> DataFrame:
+def _populate_rbox(
+    ont: Ontology, sig_roles: DataFrame, driver_side_max: int = 100_000
+) -> DataFrame:
     """P8 (SubOntologyExtractionHandler.java:435-485): walk each signature
     property's stated super chain up to the object/data attribute top,
-    collecting the traversed SubPropertyOf axioms.  Batched frontier walk
-    (property tables are tiny → broadcast joins)."""
+    collecting the traversed SubPropertyOf axioms.
+
+    The RBox is METADATA-sized by construction (SNOMED ships ~130
+    properties; the reference walks it in-heap) — below
+    ``driver_side_max`` edges the walk runs driver-side over one
+    collected edge list, exactly like any broadcast dimension lookup
+    (one job instead of one per chain level).  Above the bound it falls
+    back to the batched frontier semi-join walk."""
     stop = {OBJECT_ATTRIBUTE_TOP, DATA_ATTRIBUTE_TOP}
+    spark = ont.subprops.sparkSession
+    edges = ont.subprops.limit(driver_side_max + 1).collect()
+    if len(edges) <= driver_side_max:
+        children: dict[int, list[int]] = {}
+        for r in edges:
+            children.setdefault(r.child, []).append(r.parent)
+        frontier = {r.role_id for r in sig_roles.select("role_id").distinct().collect()}
+        visited = set(frontier)
+        acc: set[tuple[int, int]] = set()
+        while frontier:
+            nxt = set()
+            for c in frontier:
+                if c in stop:
+                    continue
+                for p in children.get(c, ()):
+                    acc.add((c, p))
+                    if p not in visited:
+                        nxt.add(p)
+                        visited.add(p)
+            frontier = nxt
+        return (
+            spark.createDataFrame(sorted(acc), "child long, parent long")
+            if acc
+            else ont.subprops.limit(0)
+        )
+
     frontier = sig_roles.select(F.col("role_id").alias("child")).distinct()
     visited = frontier
-    acc = None
+    acc_df = None
     for _ in range(32):
         frontier = frontier.filter(~F.col("child").isin(list(stop)))
         step = ont.subprops.join(frontier, "child", "left_semi")
-        acc = step if acc is None else acc.unionByName(step)
+        acc_df = step if acc_df is None else acc_df.unionByName(step)
         nxt = (
             step.select(F.col("parent").alias("child"))
             .distinct()
@@ -357,7 +391,7 @@ def _populate_rbox(ont: Ontology, sig_roles: DataFrame) -> DataFrame:
             break
         frontier = nxt
         visited = visited.unionByName(nxt)
-    return (acc if acc is not None else ont.subprops.limit(0)).distinct()
+    return (acc_df if acc_df is not None else ont.subprops.limit(0)).distinct()
 
 
 def _grouper_concepts(

@@ -25,6 +25,25 @@ def test_media_features_fake_decode(spark):
     assert all(again[r.media_id] == r.feature for r in rows)
 
 
+def test_partition_media_colocates_similar_sizes(spark):
+    """log2-width size buckets: payloads of the same magnitude land in
+    the SAME partition; a payload 100× larger lands elsewhere (unless
+    the hash collides the two buckets, which these sizes don't)."""
+    rows = [
+        (1, "image", bytes(1000)),
+        (2, "image", bytes(600)),    # same log2 bucket [512, 1023]
+        (3, "image", bytes(1023)),   # same log2 bucket
+        (4, "image", bytes(150_000)),  # far bucket
+    ]
+    df = spark.createDataFrame(rows, "media_id long, modality string, payload binary")
+    parted = partition_media(df, buckets=16).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    pids = {r.media_id: r.pid for r in parted.select("media_id", "pid").collect()}
+    assert pids[1] == pids[2] == pids[3]
+    assert pids[4] != pids[1]
+
+
 def test_media_decode_stub_raises(spark):
     media = synth_media(spark, 5)
     with pytest.raises(Exception) as ei:
