@@ -86,6 +86,16 @@ def run_headline(sf_dir: str, cores: int) -> dict:
         if name == "kg_corpus_triples":
             extras["kg_triples_out"] = n
             extras["kg_triples_per_sec"] = round(n / dt, 1) if dt > 0 else 0.0
+        # drop caches/checkpoint RDDs a query left behind so later
+        # queries aren't measured under accumulated memory pressure
+        # (each query is independent; real deployments run one at a time)
+        spark.catalog.clearCache()
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rdd_id in list(jmap.keySet().toArray()):
+                spark.sparkContext._jsc.sc().unpersistRDD(int(str(rdd_id)), False)
+        except Exception:
+            pass
     total = round(sum(per_query.values()), 3)
     spark.stop()
     return {

@@ -53,6 +53,55 @@ SESSION_OUTPUT_DDL = (
 SESSION_STATE_DDL = "last_ts timestamp, start_ts timestamp, n long"
 
 
+def gap_split(ts, state, gap_seconds):
+    """Pure per-key sessionization kernel (vectorized pandas).
+
+    ts: unsorted pandas Series of event timestamps for ONE key;
+    state: (last_ts, start_ts, n) of the open session or (None, None, 0);
+    returns (closed, new_state) where closed = [(start, end, n), ...].
+
+    Late events at or before the open session's last_ts are absorbed
+    into the open session's count but never rewind it (sessions already
+    closed are immutable — the watermark-style policy)."""
+    import pandas as pd
+
+    last_ts, start_ts, n = state
+    closed = []
+    ts = ts.sort_values(ignore_index=True)
+    if last_ts is not None:
+        late = ts <= pd.Timestamp(last_ts)
+        n += int(late.sum())
+        ts = ts[~late].reset_index(drop=True)
+    if len(ts):
+        gaps = ts.diff().dt.total_seconds()
+        new_sess = gaps > gap_seconds
+        if last_ts is not None:
+            new_sess.iloc[0] = (
+                ts.iloc[0] - pd.Timestamp(last_ts)
+            ).total_seconds() > gap_seconds
+        grp = new_sess.cumsum()
+        agg = (
+            pd.DataFrame({"ts": ts, "grp": grp})
+            .groupby("grp")["ts"]
+            .agg(["min", "max", "count"])
+            .reset_index(drop=True)
+        )
+        starts = list(agg["min"])
+        ends = list(agg["max"])
+        counts = [int(c) for c in agg["count"]]
+        if bool(new_sess.iloc[0]):  # False when last_ts is None (NaN gap)
+            # gap right at the batch boundary: the open session closes
+            # with no new events, group 0 starts a fresh session
+            closed.append((start_ts, last_ts, n))
+            start_ts, n = None, 0
+        if start_ts is not None:  # group 0 continues the open session
+            starts[0] = start_ts
+        counts[0] += n
+        closed.extend((starts[i], ends[i], counts[i]) for i in range(len(starts) - 1))
+        start_ts, last_ts, n = starts[-1], ends[-1], counts[-1]
+    return closed, (last_ts, start_ts, n)
+
+
 def stream_sessionize(events_stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Custom stateful streaming operator: gap-based sessionization with
     ``applyInPandasWithState`` — the streaming twin of the batch
@@ -82,54 +131,19 @@ def stream_sessionize(events_stream: DataFrame, gap_minutes: int = 30) -> DataFr
         import pandas as pd
 
         (user_id,) = key
-        if state.exists:
-            last_ts, start_ts, n = state.get
-        else:
-            last_ts = start_ts = None
-            n = 0
+        cur = state.get if state.exists else (None, None, 0)
         chunks = [pdf for pdf in pdfs if len(pdf)]
-        closed = []
         ts = (
-            pd.concat(chunks, ignore_index=True)["ts"].sort_values(ignore_index=True)
+            pd.concat(chunks, ignore_index=True)["ts"]
             if chunks
             else pd.Series([], dtype="datetime64[us]")
         )
-        if last_ts is not None:
-            late = ts <= pd.Timestamp(last_ts)
-            n += int(late.sum())  # absorbed into the open session
-            ts = ts[~late].reset_index(drop=True)
-        if len(ts):
-            gaps = ts.diff().dt.total_seconds()
-            new_sess = gaps > gap_seconds
-            if last_ts is not None:
-                new_sess.iloc[0] = (ts.iloc[0] - pd.Timestamp(last_ts)).total_seconds() > gap_seconds
-            grp = new_sess.cumsum()
-            agg = (
-                pd.DataFrame({"ts": ts, "grp": grp})
-                .groupby("grp")["ts"]
-                .agg(["min", "max", "count"])
-                .reset_index(drop=True)
-            )
-            starts = list(agg["min"])
-            ends = list(agg["max"])
-            counts = [int(c) for c in agg["count"]]
-            if bool(new_sess.iloc[0]):  # False when last_ts is None (NaN gap)
-                # gap right at the batch boundary: the open session closes
-                # with no new events, group 0 starts a fresh session
-                closed.append((user_id, start_ts, last_ts, n))
-                start_ts, n = None, 0
-            # group 0 continues the open session (if one survives)
-            if start_ts is not None:
-                starts[0] = start_ts
-            counts[0] += n
-            closed.extend(
-                (user_id, starts[i], ends[i], counts[i]) for i in range(len(starts) - 1)
-            )
-            start_ts, last_ts, n = starts[-1], ends[-1], counts[-1]
-        state.update((last_ts, start_ts, n))
+        closed, cur = gap_split(ts, cur, gap_seconds)
+        state.update(cur)
         if closed:
             yield pd.DataFrame(
-                closed, columns=["user_id", "session_start", "session_end", "n_events"]
+                [(user_id, s, e, c) for s, e, c in closed],
+                columns=["user_id", "session_start", "session_end", "n_events"],
             )
 
     from pyspark.sql.streaming.state import GroupStateTimeout

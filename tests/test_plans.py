@@ -76,6 +76,21 @@ def test_whole_stage_codegen_in_agg(spark):
     assert "partial_sum" in plan and "Exchange" in plan
 
 
+def test_kg_name_joins_broadcast(spark):
+    """The kg named-triple surface joins the (broadcast-sized) concept
+    dimension twice and the role dimension once — ALL THREE must plan as
+    broadcast joins; the triple table itself is never shuffled for them."""
+    df = em.queries()["kg_corpus_triples"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the name-join keys themselves never appear in a sort-merge join
+    # (inner SMJs in the pre-AQE static plan belong to the closure /
+    # antichain kernels, which AQE converts or partitions at runtime)
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            assert "_ent" not in line and "role_name" not in line
+
+
 def test_no_cartesian_in_catalog_queries(spark):
     # every oracled query should plan without a cartesian product
     for name, fn in em.queries().items():

@@ -77,3 +77,66 @@ def test_pv_id_nesting_injective_shape(role, inner_role, filler):
     nested = pv_id_for(Some(role, Some(inner_role, filler)))
     flat = pv_id_for(Some(role, filler))
     assert nested != flat
+
+
+# ---------------------------------------------------------------------------
+# Sessionization kernel: gap_split (vectorized) vs a one-pass reference,
+# under ANY chunking of the event stream into micro-batches.
+# ---------------------------------------------------------------------------
+
+def _ref_sessionize(all_ts, gap_seconds):
+    """Straightforward single-pass model over the fully-sorted stream."""
+    closed, start, last, n = [], None, None, 0
+    for t in sorted(all_ts):
+        if last is not None and (t - last).total_seconds() > gap_seconds:
+            closed.append((start, last, n))
+            start, n = None, 0
+        if start is None:
+            start = t
+        last = t
+        n += 1
+    return closed, (last, start, n)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=50_000),  # seconds offsets
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=5),  # number of batches
+    st.integers(min_value=30, max_value=3600),  # gap seconds
+)
+@settings(max_examples=150, deadline=None)
+def test_gap_split_matches_reference_any_batching(offsets, n_batches, gap):
+    import datetime
+
+    import pandas as pd
+
+    from subont.streaming import gap_split
+
+    base = datetime.datetime(2024, 1, 1)
+    ts_all = sorted(base + datetime.timedelta(seconds=o) for o in offsets)
+    # batches must be time-ordered BETWEEN batches (stream semantics:
+    # a later micro-batch carries later events), arbitrary order WITHIN
+    k, per = len(ts_all), max(1, len(ts_all) // n_batches)
+    batches = [ts_all[i : i + per] for i in range(0, k, per)]
+
+    state = (None, None, 0)
+    closed = []
+    for batch in batches:
+        # scramble within the batch: gap_split must sort internally
+        scrambled = pd.Series(pd.to_datetime(list(reversed(batch))))
+        got, state = gap_split(scrambled, state, gap)
+        closed.extend(got)
+
+    exp_closed, exp_state = _ref_sessionize(ts_all, gap)
+    norm = lambda rows: [  # noqa: E731
+        (pd.Timestamp(s), pd.Timestamp(e), int(n)) for s, e, n in rows
+    ]
+    assert norm(closed) == norm(exp_closed)
+    l, s, n = state
+    el, es, en = exp_state
+    assert (pd.Timestamp(l), pd.Timestamp(s), int(n)) == (
+        pd.Timestamp(el), pd.Timestamp(es), int(en),
+    )
