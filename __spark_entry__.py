@@ -817,6 +817,49 @@ def q_concrete_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_module_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 ⊥-locality module on the dummy CI fixture for signature
+    {focus, finding-site filler, finding-site role}: the module's axiom
+    subjects + traversed property edges.  The expected module is a fixed
+    constant of the fixture (semi-naive fixpoint, module.py)."""
+    from subont import fixtures
+    from subont.module import locality_module
+
+    ont = fixtures.dummy_ontology(spark)
+    sig = spark.createDataFrame(
+        [(fixtures.FOCUS,), (113331007,), (363698007,)], "id long"
+    )
+    m = locality_module(ont, sig, "bot")
+    ax = m.axioms.select(
+        F.col("sub_id").cast("long").alias("a"),
+        F.col("is_equiv").cast("long").alias("b"),
+        F.lit("axiom").alias("kind"),
+    )
+    sp = m.subprops.select(
+        F.col("child").cast("long").alias("a"),
+        F.col("parent").cast("long").alias("b"),
+        F.lit("subprop").alias("kind"),
+    )
+    return ax.unionByName(sp)
+
+
+def _module_oracle() -> str:
+    rows = [
+        (113331007, 0, "axiom"),
+        (362969004, 1, "axiom"),
+        (404684003, 0, "axiom"),
+        (410662002, 0, "axiom"),
+        (762705008, 0, "axiom"),
+        (900000000000441003, 0, "axiom"),
+        (363698007, 762705008, "subprop"),
+    ]
+    vals = ", ".join(f"({a}, {b}, '{k}')" for a, b, k in rows)
+    return (
+        "SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, "
+        f"CAST(kind AS VARCHAR) AS kind FROM (VALUES {vals}) AS t(a, b, kind)"
+    )
+
+
 def _fixture_oracle() -> str:
     from subont.fixtures import EXPECTED_TRIPLES
 
@@ -925,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_corpus_triples": q_kg_corpus,
         "subontology_fixture_triples": q_subontology_fixture,
         "concrete_values_triples": q_concrete_values,
+        "module_extraction": q_module_extraction,
     }
 
 
@@ -967,4 +1011,5 @@ def oracle_sql() -> dict[str, str]:
         # (the reference's own CI expectations) — literal VALUES oracles
         "subontology_fixture_triples": _fixture_oracle(),
         "concrete_values_triples": _concrete_oracle(),
+        "module_extraction": _module_oracle(),
     }
