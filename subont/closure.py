@@ -51,6 +51,7 @@ def transitive_closure(
     edges: DataFrame,
     seed_closure: DataFrame | None = None,
     max_rounds: int = 64,
+    return_delta: bool = False,
 ) -> DataFrame:
     """Strict transitive closure of (child, parent) → (desc, anc).
 
@@ -58,6 +59,11 @@ def transitive_closure(
     edge hop (A1 in SURVEY.md §2.2).  ``seed_closure``: an already-closed
     relation; new edges are closed against it incrementally instead of
     recomputing from scratch.
+
+    ``return_delta``: also return the rows NOT already in the seed — the
+    union of the new edges and every round's frontier (a superset of the
+    true delta is fine for its consumer, the semi-naive rule evaluation
+    in classify, which only uses it to bound candidate generation).
     """
     edges = edges.select(F.col("child").alias("desc"), F.col("parent").alias("anc")).distinct()
     if seed_closure is not None:
@@ -65,6 +71,7 @@ def transitive_closure(
     else:
         base = edges
     closure = _chk(base)
+    delta_parts = [edges if seed_closure is not None else closure]
     # classic semi-naive: the frontier delta extends by ONE edge hop per
     # round, so each round joins the (shrinking) delta against the small
     # edge relation — never closure ⋈ closure, which squares the hub
@@ -93,9 +100,16 @@ def transitive_closure(
         if n == 0:
             break
         closure = closure.unionByName(delta)
+        delta_parts.append(delta)
     else:
         raise RuntimeError("transitive_closure: max_rounds exceeded")
-    return closure.filter(F.col("desc") != F.col("anc"))
+    out = closure.filter(F.col("desc") != F.col("anc"))
+    if return_delta:
+        delta_out = delta_parts[0]
+        for p in delta_parts[1:]:
+            delta_out = delta_out.unionByName(p)
+        return out, delta_out.filter(F.col("desc") != F.col("anc"))
+    return out
 
 
 def derive_direct_edges(closure: DataFrame, edges: DataFrame | None = None) -> DataFrame:
@@ -214,11 +228,21 @@ def _pv_conjuncts(ont: Ontology) -> DataFrame:
 def _covered_pairs(
     left_conj: DataFrame, right_conj: DataFrame, closure: DataFrame,
     left_id: str, right_id: str,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs (L, R) where every conjunct of R is ⊒ some conjunct of L
-    (conjunct-coverage test shared by R-pv and R-equiv)."""
+    (conjunct-coverage test shared by R-pv and R-equiv).
+
+    ``pairs`` (optional, columns L/R): restrict the test to these
+    candidate pairs — the semi-naive path where candidates are the pairs
+    that gained a new ⊑-witness this round.  Coverage is monotone and
+    needs ALL matches per pair, so the restricted test still evaluates
+    the full match set (old + new) for each candidate."""
     lc = left_conj.select(F.col(left_id).alias("L"), F.col("cref").alias("lcref"))
     rc = right_conj.select(F.col(right_id).alias("R"), F.col("cref").alias("rcref"))
+    if pairs is not None:
+        lc = lc.join(pairs.select("L").distinct(), "L", "left_semi")
+        rc = rc.join(pairs.select("R").distinct(), "R", "left_semi")
     n_right = rc.groupBy("R").agg(F.count("*").alias("n_conj"))
     clo = closure.select(F.col("desc").alias("cl_desc"), F.col("anc").alias("cl_anc"))
     eq_match = lc.join(rc, F.col("lcref") == F.col("rcref"))
@@ -230,6 +254,8 @@ def _covered_pairs(
         .unionByName(sub_match.select("L", "R", F.col("rcref").alias("cref")))
         .distinct()
     )
+    if pairs is not None:
+        matches = matches.join(pairs, ["L", "R"], "left_semi")
     return (
         matches.groupBy("L", "R")
         .agg(F.count("*").alias("n_match"))
@@ -244,8 +270,18 @@ def classify(
     max_fixpoint_rounds: int = 12,
     allow_equivalences: bool = False,
     seed: "Classified | None" = None,
+    naive: bool = False,
 ) -> Classified:
     """Full classification (A1): least fixpoint of the four rules.
+
+    Rule evaluation is SEMI-NAIVE after round 1: each rule re-derives
+    only pairs whose support intersects the closure delta added by the
+    previous round (candidate generation from Δ, full re-check for those
+    candidates only) — at production scale the full closure is tens of
+    millions of rows and re-deriving every coverage pair per round is
+    the quadratic hazard.  ``naive=True`` forces full re-evaluation each
+    round (the brute-force twin used as an equivalence oracle in
+    tests/test_closure.py).
 
     ``allow_equivalences``: skip the A4 named-equivalence-cycle assertion
     — required by the V1 rename-union oracle, whose whole construction
@@ -301,24 +337,101 @@ def classify(
 
     closure = transitive_closure(edges, seed_closure=seed.closure if seed is not None else None)
     have_chains = not chains.isEmpty()  # hoisted: one action, not one per round
-    for _ in range(max_fixpoint_rounds):
-        new_edges_parts = []
 
-        # ---- R-pv: pv1 ⊑ pv2 ---------------------------------------------
-        # role compatibility: equal or (role1 ⊑ role2) via prop closure
-        p1r = pv_conj.select(F.col("pv_id").alias("pv1"), F.col("role_id").alias("role1")).distinct()
-        p2r = pv_conj.select(F.col("pv_id").alias("pv2"), F.col("role_id").alias("role2")).distinct()
-        role_pairs = p1r.join(p2r, F.col("role1") == F.col("role2")).select("pv1", "pv2").unionByName(
+    # role compatibility for R-pv is LOOP-INVARIANT (pv set and role
+    # closure are fixed during classification) — hoisted + checkpointed
+    p1r = pv_conj.select(F.col("pv_id").alias("pv1"), F.col("role_id").alias("role1")).distinct()
+    p2r = pv_conj.select(F.col("pv_id").alias("pv2"), F.col("role_id").alias("role2")).distinct()
+    role_pairs = (
+        p1r.join(p2r, F.col("role1") == F.col("role2")).select("pv1", "pv2")
+        .unionByName(
             p1r.join(role_sub_refl, F.col("role1") == F.col("r_child"))
             .join(p2r, F.col("r_parent") == F.col("role2"))
             .select("pv1", "pv2")
-        ).filter(F.col("pv1") != F.col("pv2")).distinct()
+        )
+        .filter(F.col("pv1") != F.col("pv2"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _chain_rule(clo_a, clo_b, clo_c, identity_a: bool, identity_g: bool) -> DataFrame:
+        """R-chain with each closure USE SITE parameterized — the full
+        evaluation passes the whole closure everywhere; the semi-naive
+        variants substitute the round's Δ at exactly one site."""
+        below_pv1 = clo_a.select(F.col("desc").alias("X"), F.col("anc").alias("pv1id"))
+        if identity_a:  # X may be pv1 itself
+            below_pv1 = below_pv1.unionByName(
+                simple_pvs.select(F.col("pv_id").alias("X"), F.col("pv_id").alias("pv1id"))
+            )
+        step1 = below_pv1.join(
+            simple_pvs.select(F.col("pv_id").alias("pv1id"), F.col("role_id").alias("r1"), F.col("filler_concept").alias("f1")),
+            "pv1id",
+        )
+        # r1 ⊑* left_role
+        r1_ok = step1.join(
+            chains.select("super_role", F.col("left_role"), F.col("right_role")),
+            (F.col("r1") == F.col("left_role")),
+        ).unionByName(
+            step1.join(role_sub_refl, F.col("r1") == F.col("r_child"))
+            .join(chains, F.col("r_parent") == F.col("left_role"))
+            .drop("r_child", "r_parent")
+        )
+        # F1 ⊑* pv2 (simple)
+        step2 = r1_ok.join(
+            clo_b.select(F.col("desc").alias("f1"), F.col("anc").alias("pv2id")), "f1"
+        ).join(
+            simple_pvs.select(F.col("pv_id").alias("pv2id"), F.col("role_id").alias("r2"), F.col("filler_concept").alias("g")),
+            "pv2id",
+        )
+        r2_ok = step2.filter(F.col("r2") == F.col("right_role")).unionByName(
+            step2.join(
+                role_sub_refl,
+                (F.col("r2") == F.col("r_child")) & (F.col("right_role") == F.col("r_parent")),
+                "left_semi",
+            )
+        )
+        # target named pv: exact super_role with filler ⊒* g
+        g_up = r2_ok.join(
+            clo_c.select(F.col("desc").alias("g"), F.col("anc").alias("g2")), "g"
+        ).select("X", "super_role", F.col("g2").alias("g"))
+        if identity_g:
+            g_up = r2_ok.select("X", "super_role", "g").unionByName(g_up)
+        return g_up.join(
+            simple_pvs.select(F.col("pv_id").alias("tgt"), F.col("role_id").alias("super_role"), F.col("filler_concept").alias("g")),
+            ["super_role", "g"],
+        ).select(F.col("X").alias("child"), F.col("tgt").alias("parent"))
+
+    rule_delta = None  # None → full evaluation (round 1 / naive mode)
+    for _ in range(max_fixpoint_rounds):
+        semi = rule_delta is not None and not naive
+        new_edges_parts = []
+
+        # ---- R-pv: pv1 ⊑ pv2 ---------------------------------------------
+        # semi-naive: a pair can become covered this round ONLY if some
+        # conjunct of pv1 gained a Δ-witness below a conjunct of pv2 —
+        # generate those candidate pairs from Δ, then run the full
+        # coverage test restricted to them (coverage is monotone)
+        if semi:
+            lc_d = pv_conj.select(F.col("pv_id").alias("L"), F.col("cref").alias("lcref"))
+            rc_d = pv_conj.select(F.col("pv_id").alias("R"), F.col("cref").alias("rcref"))
+            cand = (
+                lc_d.join(
+                    rule_delta.select(F.col("desc").alias("cl_desc"), F.col("anc").alias("cl_anc")),
+                    F.col("lcref") == F.col("cl_desc"),
+                )
+                .join(rc_d, F.col("cl_anc") == F.col("rcref"))
+                .select("L", "R")
+                .distinct()
+            )
+        else:
+            cand = None
         covered = _covered_pairs(
             pv_conj.select(F.col("pv_id").alias("pv1"), "cref"),
             pv_conj.select(F.col("pv_id").alias("pv2"), "cref"),
             closure,
             "pv1",
             "pv2",
+            pairs=cand,
         )
         pv_edges = (
             role_pairs.join(covered, (role_pairs.pv1 == covered.L) & (role_pairs.pv2 == covered.R), "left_semi")
@@ -327,10 +440,16 @@ def classify(
         new_edges_parts.append(pv_edges)
 
         # ---- R-equiv: X ⊑ A for A ≡ C1⊓…⊓Cn -------------------------------
+        # semi-naive: only X that gained a Δ-ancestor can newly satisfy a
+        # conjunction; identity matches are static and fire in round 1
+        eq_left = closure.select(F.col("desc").alias("xid"), F.col("anc").alias("cref")).unionByName(
+            equiv_conj.select(F.col("cref").alias("xid"), F.col("cref"))
+        )
+        if semi:
+            xs = rule_delta.select(F.col("desc").alias("xid")).distinct()
+            eq_left = eq_left.join(xs, "xid", "left_semi")
         eq_covered = _covered_pairs(
-            closure.select(F.col("desc").alias("X"), F.col("anc").alias("cref")).unionByName(
-                equiv_conj.select(F.col("cref").alias("X"), F.col("cref"))
-            ).withColumnRenamed("X", "xid").select(F.col("xid"), F.col("cref")),
+            eq_left,
             equiv_conj.select(F.col("axiom_id"), F.col("cref")),
             # closure already folded into the left side above → pass empty
             closure.limit(0),
@@ -349,48 +468,15 @@ def classify(
 
         # ---- R-chain: existential propagation onto named PVs --------------
         if have_chains:
-            refl = F.lit(True)
-            # X ⊑* pv1  (X may be pv1 itself via stated edge chain: use closure ∪ identity)
-            below_pv1 = closure.select(F.col("desc").alias("X"), F.col("anc").alias("pv1id")).unionByName(
-                simple_pvs.select(F.col("pv_id").alias("X"), F.col("pv_id").alias("pv1id"))
-            )
-            step1 = below_pv1.join(
-                simple_pvs.select(F.col("pv_id").alias("pv1id"), F.col("role_id").alias("r1"), F.col("filler_concept").alias("f1")),
-                "pv1id",
-            )
-            # r1 ⊑* left_role
-            r1_ok = step1.join(
-                chains.select("super_role", F.col("left_role"), F.col("right_role")),
-                (F.col("r1") == F.col("left_role")),
-            ).unionByName(
-                step1.join(role_sub_refl, F.col("r1") == F.col("r_child"))
-                .join(chains, F.col("r_parent") == F.col("left_role"))
-                .drop("r_child", "r_parent")
-            )
-            # F1 ⊑* pv2 (simple)
-            step2 = r1_ok.join(
-                closure.select(F.col("desc").alias("f1"), F.col("anc").alias("pv2id")), "f1"
-            ).join(
-                simple_pvs.select(F.col("pv_id").alias("pv2id"), F.col("role_id").alias("r2"), F.col("filler_concept").alias("g")),
-                "pv2id",
-            )
-            r2_ok = step2.filter(F.col("r2") == F.col("right_role")).unionByName(
-                step2.join(
-                    role_sub_refl,
-                    (F.col("r2") == F.col("r_child")) & (F.col("right_role") == F.col("r_parent")),
-                    "left_semi",
-                )
-            )
-            # target named pv: role ⊒* super_role? exact super_role with filler ⊒* g
-            g_up = r2_ok.select("X", "super_role", "g").unionByName(
-                r2_ok.join(closure.select(F.col("desc").alias("g"), F.col("anc").alias("g2")), "g")
-                .select("X", "super_role", F.col("g2").alias("g"))
-            )
-            chain_edges = g_up.join(
-                simple_pvs.select(F.col("pv_id").alias("tgt"), F.col("role_id").alias("super_role"), F.col("filler_concept").alias("g")),
-                ["super_role", "g"],
-            ).select(F.col("X").alias("child"), F.col("tgt").alias("parent"))
-            new_edges_parts.append(chain_edges)
+            if semi:
+                # standard semi-naive differentiation of the 3-closure
+                # join: one variant per closure use site with Δ
+                # substituted there (any NEW derivation uses Δ at ≥1 site)
+                new_edges_parts.append(_chain_rule(rule_delta, closure, closure, False, True))
+                new_edges_parts.append(_chain_rule(closure, rule_delta, closure, True, True))
+                new_edges_parts.append(_chain_rule(closure, closure, rule_delta, True, False))
+            else:
+                new_edges_parts.append(_chain_rule(closure, closure, closure, True, True))
 
         new_edges = new_edges_parts[0]
         for p in new_edges_parts[1:]:
@@ -403,8 +489,8 @@ def classify(
         new_edges, n_new = _chk_n(new_edges)
         if n_new == 0:
             break
-        closure = transitive_closure(
-            new_edges.select("child", "parent"), seed_closure=closure
+        closure, rule_delta = transitive_closure(
+            new_edges.select("child", "parent"), seed_closure=closure, return_delta=True
         )
     else:
         raise RuntimeError("classify: rule fixpoint did not converge")

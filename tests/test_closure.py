@@ -149,3 +149,64 @@ def test_transitive_closure_deep_chain(spark):
     clo = transitive_closure(edges)
     assert clo.count() == n * (n + 1) // 2
     assert _pairs(clo.filter("desc = 0 and anc = 40")) == {(0, 40)}
+
+
+def test_semi_naive_cascade_requires_round_two(spark):
+    """A derivation chain that CANNOT complete in one rule round:
+    round 1 derives the pv edge ∃R.D ⊑ ∃R.C (from D ⊑ C), and only then
+    can R-equiv fire for X' (whose stated parent is ∃R.D).  The
+    semi-naive delta path must still find X' ⊑ A."""
+    from subont.model import And, OntologyBuilder, Some, pv_id_for
+
+    b = OntologyBuilder()
+    R = 100
+    b.add_equiv(1, And([2, Some(R, 3)]))   # A ≡ B ⊓ ∃R.C
+    b.add_subclass(4, 3)                   # D ⊑ C
+    b.add_subclass(10, 2)                  # X' ⊑ B
+    b.add_subclass(10, Some(R, 4))         # X' ⊑ ∃R.D
+    ont = b.build(spark)
+    cl = classify(ont)
+    anc10 = {r.anc for r in cl.closure.filter(F.col("desc") == 10).collect()}
+    assert 1 in anc10                      # the round-2 R-equiv derivation
+    assert pv_id_for(Some(R, 3)) in anc10  # the round-1 R-pv derivation
+    # brute-force twin agrees exactly
+    cl_naive = classify(ont, naive=True)
+    d = cl.closure.exceptAll(cl_naive.closure)
+    d2 = cl_naive.closure.exceptAll(cl.closure)
+    assert d.isEmpty() and d2.isEmpty()
+
+
+def test_semi_naive_equals_naive_randomized(spark):
+    """Equivalence oracle over seeded random EL ontologies mixing
+    subclasses, 2-conjunct equivalences, nested PVs, a transitive role
+    and a role chain — the semi-naive rule evaluation must produce
+    EXACTLY the naive fixpoint's closure."""
+    import random
+
+    from subont.model import And, OntologyBuilder, Some
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        b = OntologyBuilder()
+        R, S, T = 100, 101, 102
+        b.add_subproperty(S, R)
+        b.transitive_roles.add(R)
+        b.role_chains.append(dict(super_role=T, left_role=T, right_role=R))
+        n = 14
+        for c in range(1, n):
+            b.add_subclass(c, rng.randrange(c + 1, n + 1) if c + 1 <= n else n)
+        for _ in range(6):
+            c, f = rng.randrange(1, n), rng.randrange(1, n)
+            b.add_subclass(c, Some(rng.choice([R, S, T]), f))
+        for _ in range(3):
+            a, c2, f = rng.randrange(1, n), rng.randrange(1, n), rng.randrange(1, n)
+            if a != c2:
+                b.add_equiv(a, And([c2, Some(rng.choice([R, S]), f)]))
+        ont = b.build(spark)
+        try:
+            fast = classify(ont)
+            slow = classify(ont, naive=True)
+        except ValueError:
+            continue  # random equivalence cycle — rejected by both paths
+        assert fast.closure.exceptAll(slow.closure).isEmpty(), seed
+        assert slow.closure.exceptAll(fast.closure).isEmpty(), seed
