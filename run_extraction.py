@@ -115,17 +115,27 @@ def main() -> int:
         write_rf2_named(
             concrete, rf2_dir, f"sct2_RelationshipConcreteValues_Snapshot_INT_{rf2_date}.txt"
         )
-        write_rf2_named(
-            owl_refset_rows(res.sub),
-            os.path.join(args.output_path, "RF2", "Snapshot", "Refset"),
-            f"sct2_sRefset_OWLExpressionSnapshot_INT_{rf2_date}.txt",
-        )
+        # OWL expression refset lives under Snapshot/Terminology/ like
+        # every reference writer (RF2ExtractionWriter.java:70-74,
+        # OWLtoRF2Service.java:195) — NOT under Refset/.  When a source
+        # snapshot archive is provided, the reference's RF2 tree gets
+        # this file from the gated extraction (RF2ExtractionWriter);
+        # the subontology-derived rows are written standalone only when
+        # no snapshot is available (no reference counterpart, kept as a
+        # documented convenience).
+        if not snapshot_dir:
+            write_rf2_named(
+                owl_refset_rows(res.sub),
+                rf2_dir,
+                f"sct2_sRefset_OWLExpressionSnapshot_INT_{rf2_date}.txt",
+            )
         # browser RF2 from the subontology's labels/axioms (OWLtoRF2Service)
         write_owl_rf2_zip(res.sub, os.path.join(args.output_path, "debug_OWLRefset.zip"))
         if snapshot_dir:
             # S7: full five-file signature-filtered extraction
             extract_rf2_snapshot(
-                spark, snapshot_dir, res.entity_ids, os.path.join(args.output_path, "RF2")
+                spark, snapshot_dir, res.entity_ids,
+                os.path.join(args.output_path, "RF2"), date=rf2_date,
             )
 
     rc = 0

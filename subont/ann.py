@@ -77,12 +77,33 @@ def probe_clusters(centroids: dict[int, list[float]], qvec: list[float], nprobe:
     return sorted(sorted(centroids), key=lambda c: (-_cos_py(centroids[c], qvec), c))[:nprobe]
 
 
+# above this many centroids the CASE-cascade assignment plan (k×dim
+# expression terms, copied through every Catalyst rule) is slower to
+# PLAN than the data is to score — switch to the numpy broadcast path.
+# Both paths are tie-break-identical (lowest centroid id).
+IVF_BROADCAST_THRESHOLD = 256
+
+
+def select_ivf_assign(
+    embeddings: DataFrame,
+    centroids: dict[int, list[float]],
+    broadcast_threshold: int = IVF_BROADCAST_THRESHOLD,
+) -> DataFrame:
+    """Pick the IVF assignment strategy by codebook size: CASE cascade
+    (DuckDB-oracle-portable, small plans) below the threshold, numpy
+    broadcast scoring (constant-size plan) above it."""
+    if len(centroids) > broadcast_threshold:
+        return ivf_assign_broadcast(embeddings, centroids)
+    return ivf_assign(embeddings, centroids)
+
+
 def ivf_search(
     embeddings: DataFrame,
     centroids: dict[int, list[float]],
     qvec: list[float],
     k: int = 10,
     nprobe: int = 2,
+    broadcast_threshold: int = IVF_BROADCAST_THRESHOLD,
 ) -> DataFrame:
     """IVF probe path: search only the best-``nprobe`` clusters' buckets.
 
@@ -90,9 +111,10 @@ def ivf_search(
     data BEFORE any scoring; scoring + TakeOrderedAndProject top-k run
     only over the probed buckets.  At production scale the assignment is
     precomputed and the table is partitioned by cluster, so the filter
-    becomes partition pruning."""
+    becomes partition pruning.  Large codebooks auto-select the numpy
+    broadcast assignment (constant-size plan)."""
     probes = probe_clusters(centroids, qvec, nprobe)
-    assigned = ivf_assign(embeddings, centroids)
+    assigned = select_ivf_assign(embeddings, centroids, broadcast_threshold)
     bucketed = embeddings.join(
         assigned.filter(F.col("cluster").isin(probes)), "vec_id", "left_semi"
     )
@@ -125,6 +147,7 @@ def embedding_neardup_pairs(
     centroids: dict[int, list[float]],
     dim: int = 64,
     threshold: float = 0.95,
+    broadcast_threshold: int = IVF_BROADCAST_THRESHOLD,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, IVF-bucketed.
 
@@ -141,7 +164,9 @@ def embedding_neardup_pairs(
     # memory blowup observed at default heap).  The assignment table
     # itself is two columns — checkpointing it costs one tiny job and
     # keeps the join plan linear in dim.
-    assigned = ivf_assign(embeddings, centroids).localCheckpoint(eager=False)
+    assigned = select_ivf_assign(
+        embeddings, centroids, broadcast_threshold
+    ).localCheckpoint(eager=False)
     side = embeddings.join(assigned, "vec_id")
     a = side.select(
         F.col("cluster"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb")
@@ -182,7 +207,10 @@ def ivf_assign_broadcast(
 
         for pdf in batches:
             emb = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            norms = np.linalg.norm(emb, axis=1, keepdims=True)
+            # clamp zero-norm vectors: NaN similarities would make
+            # argmax silently pick centroid ids[0], diverging from the
+            # CASE-cascade twin this function is documented to match
+            norms = np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-300)
             sims = (emb / norms) @ cmat.T
             yield pd.DataFrame(
                 {

@@ -52,7 +52,7 @@ def transitive_closure(
     seed_closure: DataFrame | None = None,
     max_rounds: int = 64,
     return_delta: bool = False,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Strict transitive closure of (child, parent) → (desc, anc).
 
     Semi-naive: each round extends only the frontier ``delta`` by one
@@ -150,6 +150,13 @@ class Classified:
                      PV and GCI names are non-primitive)
     prop_closure   — strict role hierarchy closure (child, parent)
     pv_names / gci_names — the introduced-name dictionaries as DFs
+    gen_edges      — the GENERATING edge set (child, parent): stated
+                     edges ∪ every rule-derived edge ∪ the seed's
+                     generating edges.  closure == TC(gen_edges), so
+                     any ≥2-step closure pair has a last-hop witness in
+                     gen_edges — the witness set that keeps direct-edge
+                     derivation linear in |edges| instead of the
+                     closure ⋈ closure hub-skew square.
     """
 
     closure: DataFrame
@@ -158,6 +165,7 @@ class Classified:
     prop_closure: DataFrame
     pv_names: DataFrame
     gci_names: DataFrame
+    gen_edges: DataFrame
 
     def ancestors_of(self, ids: DataFrame, id_col: str = "concept_id") -> DataFrame:
         """Distinct strict ancestors of a set (batched A2)."""
@@ -338,6 +346,14 @@ def classify(
     closure = transitive_closure(edges, seed_closure=seed.closure if seed is not None else None)
     have_chains = not chains.isEmpty()  # hoisted: one action, not one per round
 
+    # generating edge set accumulator: closure stays TC(gen_edges) as an
+    # invariant, giving derive_direct_edges its witness set (the seeded
+    # case folds in the seed's own generating edges — seed.closure pairs
+    # may have no last-hop witness among the current stated edges)
+    gen_parts = [edges.select("child", "parent")]
+    if seed is not None:
+        gen_parts.append(seed.gen_edges.select("child", "parent"))
+
     # role compatibility for R-pv is LOOP-INVARIANT (pv set and role
     # closure are fixed during classification) — hoisted + checkpointed
     p1r = pv_conj.select(F.col("pv_id").alias("pv1"), F.col("role_id").alias("role1")).distinct()
@@ -489,6 +505,7 @@ def classify(
         new_edges, n_new = _chk_n(new_edges)
         if n_new == 0:
             break
+        gen_parts.append(new_edges.select("child", "parent"))
         closure, rule_delta = transitive_closure(
             new_edges.select("child", "parent"), seed_closure=closure, return_delta=True
         )
@@ -507,7 +524,14 @@ def classify(
             raise ValueError("equivalent-class cycle detected; unsupported (reference assumes none)")
 
     closure = closure.localCheckpoint(eager=False)
-    direct = derive_direct_edges(closure).localCheckpoint(eager=False)
+    gen_edges = gen_parts[0]
+    for p in gen_parts[1:]:
+        gen_edges = gen_edges.unionByName(p)
+    gen_edges = gen_edges.distinct().localCheckpoint(eager=False)
+    # witness-edge form: linear in |gen_edges|, never closure ⋈ closure
+    # (the hub-skew square — at SNOMED scale every concept is below the
+    # root, so the mid-join would pair |desc(root)|·|anc(root)| rows)
+    direct = derive_direct_edges(closure, edges=gen_edges).localCheckpoint(eager=False)
     non_primitive = (
         ont.axioms.filter(F.col("is_equiv")).select(F.col("sub_id").alias("id"))
         .unionByName(pv_names.select(F.col("pv_id").alias("id")))
@@ -520,4 +544,5 @@ def classify(
         prop_closure=prop_closure.localCheckpoint(eager=False),
         pv_names=pv_names.localCheckpoint(eager=False),
         gci_names=gci_names.localCheckpoint(eager=False),
+        gen_edges=gen_edges,
     )

@@ -37,7 +37,12 @@ def _rf2_value_col(lit_col) -> F.Column:
     lex = F.regexp_extract(lit_col, r'^"((?:[^"\\]|\\.)*)"', 1)
     dtype = F.regexp_extract(lit_col, r"\^\^(?:xsd:)?(\w+)$", 1)
     numeric = dtype.isin(
-        "decimal", "integer", "int", "long", "float", "double", "nonNegativeInteger"
+        # full XSD numeric datatype family (owl2 datatype map) — any of
+        # these gets the '#' prefix, everything else stays quoted
+        "decimal", "integer", "int", "long", "float", "double", "short", "byte",
+        "nonNegativeInteger", "nonPositiveInteger", "positiveInteger",
+        "negativeInteger", "unsignedLong", "unsignedInt", "unsignedShort",
+        "unsignedByte",
     )
     return F.when(numeric, F.concat(F.lit("#"), lex)).otherwise(
         F.concat(F.lit('"'), lex, F.lit('"'))

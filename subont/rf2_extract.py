@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .model import CORE_MODULE, Ontology
-from .rf2 import _global_row_number, uuid5_col, write_rf2_tsv
+from .rf2 import _global_row_number, uuid5_col, write_rf2_named, write_rf2_tsv
 from .rf2_io import read_rf2_tsv
 
 TEXT_DEFINITION_TYPE = 900000000000550004   # Definition (core metadata concept)
@@ -102,7 +102,9 @@ def _gate(df: DataFrame, ids: DataFrame, col: str, broadcast: bool = True) -> Da
     dim = ids.select(F.col(ids.columns[0]).cast("string").alias(col)).distinct()
     if broadcast:
         dim = F.broadcast(dim)
-    return df.join(dim, col, "left_semi")
+    # re-select the input column order: a USING-column join moves the
+    # key first, which would scramble the RF2 header column order
+    return df.join(dim, col, "left_semi").select(*df.columns)
 
 
 def extract_rf2_snapshot(
@@ -111,11 +113,14 @@ def extract_rf2_snapshot(
     entity_ids: DataFrame,
     out_dir: str,
     include_metadata: bool = True,
+    date: str | None = None,
 ) -> dict[str, DataFrame]:
     """S7: five-file signature-filtered extraction.  Returns the five
     gated DataFrames and writes them under ``out_dir`` in the
-    reference's Snapshot/ layout.  ``entity_ids`` is a one-column
-    DataFrame of concept ids (sub ∪ NNF signature)."""
+    reference's Snapshot/ layout with date-stamped single-file names
+    (``*_INT_<yyyyMMdd>.txt``, RF2ExtractionWriter.java:51-75).
+    ``entity_ids`` is a one-column DataFrame of concept ids
+    (sub ∪ NNF signature)."""
     ids = entity_ids.select(F.col(entity_ids.columns[0]).cast("long").alias("cid"))
     if include_metadata:
         meta = spark.createDataFrame([(i,) for i in RF2_EXTRACTION_METADATA], "cid long")
@@ -156,8 +161,17 @@ def extract_rf2_snapshot(
         "Snapshot/Refset/Language/der2_cRefset_LanguageSnapshot-en": lang_kept,
         "Snapshot/Terminology/sct2_sRefset_OWLExpressionSnapshot": owl_kept,
     }
+    # dated single-file names matching RF2ExtractionWriter.java:51-75
+    # (keys above stay the undated logical names for callers/tests)
+    import datetime as _dt
+
+    date = date or _dt.date.today().strftime("%Y%m%d")
     for rel, df in tables.items():
-        write_rf2_tsv(df, os.path.join(out_dir, rel))
+        write_rf2_named(
+            df,
+            os.path.join(out_dir, os.path.dirname(rel)),
+            f"{os.path.basename(rel)}_INT_{date}.txt",
+        )
     return tables
 
 

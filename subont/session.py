@@ -31,8 +31,10 @@ def get_spark(
     if max_partition_bytes is None:
         mpb = os.environ.get("SUBONT_MAX_PARTITION_BYTES")
         max_partition_bytes = int(mpb) if mpb else None
-    aqe = os.environ.get("SUBONT_AQE", "true")  # AQE off is faster for
-    # tiny-fixture sessions (per-job re-planning dominates µ-batches)
+    aqe = os.environ.get("SUBONT_AQE", "true")  # AQE stays ON even at
+    # fixture scale: the round-3 controlled A/B (BENCH.md) measured
+    # AQE-off at 2.7× slower (61 jobs / 328s) — runtime broadcast-join
+    # conversion dominates the per-stage scheduling overhead
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)

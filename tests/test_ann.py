@@ -46,3 +46,27 @@ def test_broadcast_assign_large_codebook(spark):
     # plan stays constant-size: no per-centroid expressions
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert len(plan) < 20_000
+
+
+def test_ivf_search_auto_selects_assignment(spark):
+    """The probe search and near-dup blocking auto-select the numpy
+    broadcast assignment above IVF_BROADCAST_THRESHOLD centroids; both
+    strategies must return identical results on the same codebook."""
+    from subont.ann import embedding_neardup_pairs, ivf_search, query_vector
+
+    centroids = {
+        c: [round(math.cos((i + 1) * (c + 2)), 6) for i in range(64)] for c in range(4)
+    }
+    emb = _emb(spark)
+    q = query_vector(emb, 0)
+    cascade = ivf_search(emb, centroids, q, k=8, broadcast_threshold=1000)
+    bcast = ivf_search(emb, centroids, q, k=8, broadcast_threshold=0)
+    assert [tuple(r) for r in cascade.orderBy("rank").collect()] == [
+        tuple(r) for r in bcast.orderBy("rank").collect()
+    ]
+
+    p1 = embedding_neardup_pairs(emb, centroids, threshold=0.9, broadcast_threshold=1000)
+    p2 = embedding_neardup_pairs(emb, centroids, threshold=0.9, broadcast_threshold=0)
+    assert {(r.vec_a, r.vec_b) for r in p1.collect()} == {
+        (r.vec_a, r.vec_b) for r in p2.collect()
+    }

@@ -65,16 +65,18 @@ def test_run_extraction_cli_zip_snapshot(spark, tmp_path, monkeypatch):
     nnf_text = open(os.path.join(out, "subOntologyNNFs.owl")).read()
     assert "SubClassOf(" in nnf_text
 
-    # five-file extraction present (S7) + OWL refset + browser zip (S9)
+    # five-file extraction present (S7) + OWL refset + browser zip (S9):
+    # date-stamped single files in the reference's exact layout
+    # (RF2ExtractionWriter.java:51-75; OWL refset under Terminology/)
     for rel in [
-        "RF2/Snapshot/Terminology/sct2_Concept_Snapshot",
-        "RF2/Snapshot/Terminology/sct2_Description_Snapshot-en",
-        "RF2/Snapshot/Terminology/sct2_TextDefinition_Snapshot-en",
-        "RF2/Snapshot/Refset/Language/der2_cRefset_LanguageSnapshot-en",
-        "RF2/Snapshot/Terminology/sct2_sRefset_OWLExpressionSnapshot",
+        "RF2/Snapshot/Terminology/sct2_Concept_Snapshot_INT_20250101.txt",
+        "RF2/Snapshot/Terminology/sct2_Description_Snapshot-en_INT_20250101.txt",
+        "RF2/Snapshot/Terminology/sct2_TextDefinition_Snapshot-en_INT_20250101.txt",
+        "RF2/Snapshot/Refset/Language/der2_cRefset_LanguageSnapshot-en_INT_20250101.txt",
+        "RF2/Snapshot/Terminology/sct2_sRefset_OWLExpressionSnapshot_INT_20250101.txt",
     ]:
-        assert glob.glob(os.path.join(out, rel, "part-*.csv")), rel
-    assert os.path.exists(
+        assert os.path.exists(os.path.join(out, rel)), rel
+    assert not os.path.exists(
         os.path.join(out, "RF2", "Snapshot", "Refset",
                      "sct2_sRefset_OWLExpressionSnapshot_INT_20250101.txt")
     )

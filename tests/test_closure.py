@@ -210,3 +210,42 @@ def test_semi_naive_equals_naive_randomized(spark):
             continue  # random equivalence cycle — rejected by both paths
         assert fast.closure.exceptAll(slow.closure).isEmpty(), seed
         assert slow.closure.exceptAll(fast.closure).isEmpty(), seed
+
+def test_classify_direct_witness_equivalence(spark):
+    """classify derives direct edges via the GENERATING edge witness set
+    (never closure ⋈ closure — the hub-skew square).  Gate: the
+    witness-form result equals the brute-force self-join form, and
+    TC(gen_edges) == closure, the invariant the witness argument
+    rests on."""
+    ont = fixtures.dummy_ontology(spark)
+    cl = classify(ont)
+    brute = derive_direct_edges(cl.closure)  # edges=None → self-join twin
+    assert cl.direct.exceptAll(brute).isEmpty()
+    assert brute.exceptAll(cl.direct).isEmpty()
+    tc = transitive_closure(cl.gen_edges)
+    assert tc.exceptAll(cl.closure).isEmpty()
+    assert cl.closure.exceptAll(tc).isEmpty()
+
+
+def test_seeded_classify_direct_witness(spark):
+    """Incremental (seeded) classify: the seed's rule-derived closure
+    pairs have no last-hop witness among the newly stated edges — the
+    accumulated gen_edges (seed.gen_edges ∪ stated ∪ rule edges) must
+    still make the witness-form direct edges exact."""
+    b = OntologyBuilder()
+    R = 100
+    b.add_equiv(1, And([2, Some(R, 3)]))   # A ≡ B ⊓ ∃R.C
+    b.add_subclass(4, 3)                   # D ⊑ C  → rule edge ∃R.D ⊑ ∃R.C
+    b.add_subclass(10, 2)
+    b.add_subclass(10, Some(R, 4))
+    ont1 = b.build(spark)
+    cl1 = classify(ont1)
+    b.add_subclass(20, 10)                 # extension below the derived pairs
+    ont2 = b.build(spark)
+    cl2 = classify(ont2, seed=cl1)
+    brute = derive_direct_edges(cl2.closure)
+    assert cl2.direct.exceptAll(brute).isEmpty()
+    assert brute.exceptAll(cl2.direct).isEmpty()
+    scratch = classify(ont2)
+    assert cl2.closure.exceptAll(scratch.closure).isEmpty()
+    assert scratch.closure.exceptAll(cl2.closure).isEmpty()

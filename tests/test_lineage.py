@@ -41,3 +41,31 @@ def test_resume_from_partial_run(spark, tmp_path):
         # lineage row counts reconcile with the stage row count
         total = sum(r.rows for r in lineage.collect())
         assert total == m["rows"]
+
+
+def test_durable_checkpoint_survives_block_loss(spark, tmp_path, monkeypatch):
+    """SUBONT_CHECKPOINT_DIR routes every fixpoint checkpoint through a
+    RELIABLE df.checkpoint() into that directory.  Evidence: after the
+    closure materializes, unpersist EVERY in-memory block (simulating
+    executor loss — this would kill a localCheckpoint-backed plan, whose
+    truncated lineage cannot recompute) and the result must still be
+    re-collectable from the durable round files."""
+    import os
+
+    from subont.closure import transitive_closure
+
+    chk_dir = str(tmp_path / "chk")
+    monkeypatch.setenv("SUBONT_CHECKPOINT_DIR", chk_dir)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "child long, parent long"
+    )
+    clo = transitive_closure(edges)
+    assert clo.count() == 12 * 13 // 2
+    # round files actually landed in the durable directory
+    found = [os.path.join(r, f) for r, _, fs in os.walk(chk_dir) for f in fs]
+    assert found, "no reliable checkpoint files written"
+    # drop every persisted block (executor-loss proxy), then re-read
+    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        jrdd.unpersist(True)
+    spark.catalog.clearCache()
+    assert clo.count() == 12 * 13 // 2

@@ -123,3 +123,23 @@ def test_no_unbounded_global_window(spark):
                     name,
                     tail,
                 )
+
+
+def test_antichain_closure_join_is_pairwise(spark):
+    """A5/A6 plan gate: the closure may be touched ONLY by a two-column
+    (desc, anc) semi-join over set-bounded member pairs — never an
+    anc-only equi-join that fans each candidate out to its full
+    descendant set (hub skew: |descendants(root)| rows per candidate at
+    SNOMED scale)."""
+    from subont.reduce import eliminate_stronger, eliminate_weaker
+
+    cand = spark.createDataFrame([(1, 10), (1, 11)], "set_id long, cls long")
+    closure = spark.createDataFrame([(10, 11)], "desc long, anc long")
+    for fn in (eliminate_weaker, eliminate_stronger):
+        plan = _optimized(fn(cand, closure))
+        semi = [l for l in plan.splitlines() if "LeftSemi" in l]
+        assert semi, plan
+        # every closure-facing semi-join keys on BOTH desc and anc
+        for line in semi:
+            if "desc" in line or "anc" in line:
+                assert "desc" in line and "anc" in line, line

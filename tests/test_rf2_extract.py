@@ -91,10 +91,12 @@ def test_extract_rf2_snapshot_dummy(spark, dummy_extraction, tmp_path):
     assert {int(r.referencedComponentId) for r in owl.collect()} <= (
         ent | set(RF2_EXTRACTION_METADATA)
     )
-    # all five files written with headers
+    # all five files written as date-stamped single files with headers
     for rel in tables:
-        part = glob.glob(os.path.join(out, rel, "part-*.csv"))
-        assert part, rel
+        hits = glob.glob(os.path.join(out, os.path.dirname(rel),
+                                      os.path.basename(rel) + "_INT_*.txt"))
+        assert hits, rel
+        assert open(hits[0]).readline().startswith("id\t")
 
 
 def test_extract_langrefset_gating(spark, tmp_path):
