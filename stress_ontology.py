@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""SNOMED-scale classification stress run (VERDICT r3 item 3).
+
+Generates the seeded synthetic ontology at the reference's production
+scale (~360k concepts, ~1M axiom rows incl. reified PV equivalences —
+README.md:60 sizes the reference's JVM for exactly this input), then
+drives the two reference workloads:
+
+* ``classify`` — full EL classification, reporting closure size,
+  fixpoint round count and wall time;
+* ``compute_subontology`` — a focus-subset extraction over the result
+  (optional, ``--extract``).
+
+Usage:
+  python stress_ontology.py [--n 360000] [--cores 32] [--seed 0]
+                            [--naive-check-n 2000] [--extract]
+
+``--naive-check-n``: first classifies a small same-seed sample and
+asserts the semi-naive closure equals the brute-force (naive=True)
+fixpoint — the correctness gate for the big run's machinery.
+
+Prints ONE JSON line with the measured numbers (BENCH.md records them).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=360_000)
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--naive-check-n", type=int, default=2_000)
+    ap.add_argument("--extract", action="store_true")
+    ap.add_argument("--focus", type=int, default=500, help="focus concepts for --extract")
+    args = ap.parse_args()
+
+    import pyspark.sql.functions as F
+
+    from subont.closure import classify
+    from subont.session import get_spark
+    from subont.synth import synthetic_ontology
+
+    spark = get_spark("subont-stress", cores=args.cores,
+                      shuffle_partitions=max(args.cores * 2, 32))
+    out: dict = {"n_concepts": args.n, "seed": args.seed, "cores": args.cores}
+
+    if args.naive_check_n:
+        ont_s = synthetic_ontology(spark, n_concepts=args.naive_check_n, seed=args.seed)
+        fast = classify(ont_s)
+        slow = classify(ont_s, naive=True)
+        d1 = fast.closure.exceptAll(slow.closure).count()
+        d2 = slow.closure.exceptAll(fast.closure).count()
+        assert d1 == 0 and d2 == 0, (d1, d2)
+        out["naive_check"] = f"ok@{args.naive_check_n}"
+
+    ont = synthetic_ontology(spark, n_concepts=args.n, seed=args.seed)
+    out["axiom_rows"] = ont.axioms.count()
+    out["pv_rows"] = ont.pvs.count()
+
+    t0 = time.time()
+    cl = classify(ont, max_fixpoint_rounds=24, progress=True)
+    out["closure_rows"] = cl.closure.count()
+    out["classify_sec"] = round(time.time() - t0, 1)
+    t1 = time.time()
+    out["direct_rows"] = cl.direct.count()
+    out["direct_sec"] = round(time.time() - t1, 1)
+
+    if args.extract:
+        from subont.pipeline import compute_subontology
+
+        focus = (
+            spark.range(2, args.n * 4 // 5)
+            .select(F.col("id").alias("concept_id"))
+            .filter((F.col("concept_id") % ((args.n * 4 // 5) // args.focus)) == 3)
+        )
+        out["focus_n"] = focus.count()
+        t2 = time.time()
+        # compute_rf2=False: the synthetic id space has no SNOMED
+        # metadata concepts to fold into the focus set
+        res = compute_subontology(spark, ont, focus, compute_rf2=False)
+        out["sub_axioms"] = res.sub.axioms.count()
+        out["nnf_rows"] = res.nnf_rows.count()
+        out["extract_sec"] = round(time.time() - t2, 1)
+
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -279,6 +279,7 @@ def classify(
     allow_equivalences: bool = False,
     seed: "Classified | None" = None,
     naive: bool = False,
+    progress: bool = False,
 ) -> Classified:
     """Full classification (A1): least fixpoint of the four rules.
 
@@ -354,31 +355,36 @@ def classify(
     if seed is not None:
         gen_parts.append(seed.gen_edges.select("child", "parent"))
 
-    # role compatibility for R-pv is LOOP-INVARIANT (pv set and role
-    # closure are fixed during classification) — hoisted + checkpointed
-    p1r = pv_conj.select(F.col("pv_id").alias("pv1"), F.col("role_id").alias("role1")).distinct()
-    p2r = pv_conj.select(F.col("pv_id").alias("pv2"), F.col("role_id").alias("role2")).distinct()
-    role_pairs = (
-        p1r.join(p2r, F.col("role1") == F.col("role2")).select("pv1", "pv2")
-        .unionByName(
-            p1r.join(role_sub_refl, F.col("role1") == F.col("r_child"))
-            .join(p2r, F.col("r_parent") == F.col("role2"))
-            .select("pv1", "pv2")
-        )
-        .filter(F.col("pv1") != F.col("pv2"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    # pv → role map for R-pv role compatibility (tiny, loop-invariant).
+    # NEVER materialize the same-role pv×pv cross product: at SNOMED
+    # scale Σ_role |pvs(role)|² is billions of rows.  Role compatibility
+    # is instead applied to the COVERED pairs each round — a set bounded
+    # by actual filler-subsumption witnesses, i.e. by the rule's output.
+    pv_role = ont.pvs.select("pv_id", "role_id").distinct().localCheckpoint(eager=False)
 
-    def _chain_rule(clo_a, clo_b, clo_c, identity_a: bool, identity_g: bool) -> DataFrame:
-        """R-chain with each closure USE SITE parameterized — the full
-        evaluation passes the whole closure everywhere; the semi-naive
-        variants substitute the round's Δ at exactly one site."""
-        below_pv1 = clo_a.select(F.col("desc").alias("X"), F.col("anc").alias("pv1id"))
-        if identity_a:  # X may be pv1 itself
-            below_pv1 = below_pv1.unionByName(
-                simple_pvs.select(F.col("pv_id").alias("X"), F.col("pv_id").alias("pv1id"))
+    def _chain_rule(clo: DataFrame, tagged: bool) -> DataFrame:
+        """R-chain over ONE (optionally delta-tagged) closure.
+
+        ``clo`` carries (desc, anc) plus — when ``tagged`` — a boolean
+        ``__d`` marking rows added by the previous round.  The fused
+        semi-naive evaluation threads a delta flag through each of the
+        three closure use sites and keeps only derivations that used a
+        Δ row at ≥1 site (identity pseudo-rows are static → False).
+        This replaces the earlier one-variant-per-site differentiation
+        (3 full join trees per round) with a single tree: the variant
+        with Δ at the LAST site already paid full-closure intermediates
+        at the first two sites, so the fused tree costs about one
+        variant, not three — and runs a third of the query stages,
+        which at fixture scale ARE the wall clock."""
+        dcol = (F.col("__d") if tagged else F.lit(False))
+        below_pv1 = clo.select(
+            F.col("desc").alias("X"), F.col("anc").alias("pv1id"), dcol.alias("da")
+        ).unionByName(  # X may be pv1 itself (static identity rows)
+            simple_pvs.select(
+                F.col("pv_id").alias("X"), F.col("pv_id").alias("pv1id"),
+                F.lit(False).alias("da"),
             )
+        )
         step1 = below_pv1.join(
             simple_pvs.select(F.col("pv_id").alias("pv1id"), F.col("role_id").alias("r1"), F.col("filler_concept").alias("f1")),
             "pv1id",
@@ -394,7 +400,8 @@ def classify(
         )
         # F1 ⊑* pv2 (simple)
         step2 = r1_ok.join(
-            clo_b.select(F.col("desc").alias("f1"), F.col("anc").alias("pv2id")), "f1"
+            clo.select(F.col("desc").alias("f1"), F.col("anc").alias("pv2id"), dcol.alias("db")),
+            "f1",
         ).join(
             simple_pvs.select(F.col("pv_id").alias("pv2id"), F.col("role_id").alias("r2"), F.col("filler_concept").alias("g")),
             "pv2id",
@@ -408,17 +415,24 @@ def classify(
         )
         # target named pv: exact super_role with filler ⊒* g
         g_up = r2_ok.join(
-            clo_c.select(F.col("desc").alias("g"), F.col("anc").alias("g2")), "g"
-        ).select("X", "super_role", F.col("g2").alias("g"))
-        if identity_g:
-            g_up = r2_ok.select("X", "super_role", "g").unionByName(g_up)
+            clo.select(F.col("desc").alias("g"), F.col("anc").alias("g2"), dcol.alias("dc")),
+            "g",
+        ).select("X", "super_role", F.col("g2").alias("g"), "da", "db", "dc")
+        g_up = r2_ok.select(
+            "X", "super_role", "g", "da", "db", F.lit(False).alias("dc")
+        ).unionByName(g_up)
+        if tagged:  # all-old derivations are already in the closure
+            g_up = g_up.filter(F.col("da") | F.col("db") | F.col("dc"))
         return g_up.join(
             simple_pvs.select(F.col("pv_id").alias("tgt"), F.col("role_id").alias("super_role"), F.col("filler_concept").alias("g")),
             ["super_role", "g"],
         ).select(F.col("X").alias("child"), F.col("tgt").alias("parent"))
 
     rule_delta = None  # None → full evaluation (round 1 / naive mode)
-    for _ in range(max_fixpoint_rounds):
+    import time as _time
+
+    _t_round = _time.time()
+    for _round in range(max_fixpoint_rounds):
         semi = rule_delta is not None and not naive
         new_edges_parts = []
 
@@ -448,10 +462,25 @@ def classify(
             "pv1",
             "pv2",
             pairs=cand,
+        ).filter(F.col("L") != F.col("R"))
+        # role compatibility on the covered pairs: r1 == r2, or r1 ⊑* r2
+        # via the (tiny, broadcastable) role closure
+        cov_r = covered.join(
+            pv_role.select(F.col("pv_id").alias("L"), F.col("role_id").alias("role1")), "L"
+        ).join(
+            pv_role.select(F.col("pv_id").alias("R"), F.col("role_id").alias("role2")), "R"
         )
         pv_edges = (
-            role_pairs.join(covered, (role_pairs.pv1 == covered.L) & (role_pairs.pv2 == covered.R), "left_semi")
-            .select(F.col("pv1").alias("child"), F.col("pv2").alias("parent"))
+            cov_r.filter(F.col("role1") == F.col("role2"))
+            .unionByName(
+                cov_r.join(
+                    role_sub_refl,
+                    (F.col("role1") == F.col("r_child"))
+                    & (F.col("role2") == F.col("r_parent")),
+                    "left_semi",
+                )
+            )
+            .select(F.col("L").alias("child"), F.col("R").alias("parent"))
         )
         new_edges_parts.append(pv_edges)
 
@@ -485,14 +514,16 @@ def classify(
         # ---- R-chain: existential propagation onto named PVs --------------
         if have_chains:
             if semi:
-                # standard semi-naive differentiation of the 3-closure
-                # join: one variant per closure use site with Δ
-                # substituted there (any NEW derivation uses Δ at ≥1 site)
-                new_edges_parts.append(_chain_rule(rule_delta, closure, closure, False, True))
-                new_edges_parts.append(_chain_rule(closure, rule_delta, closure, True, True))
-                new_edges_parts.append(_chain_rule(closure, closure, rule_delta, True, False))
+                # closure == prev_closure ⊎ rule_delta (every delta part
+                # is anti-joined before accumulation, so the split is
+                # exact and disjoint) — the delta-tagged closure is a
+                # free union, never a closure ⋈ Δ membership join
+                tagged = prev_closure.withColumn("__d", F.lit(False)).unionByName(
+                    rule_delta.select("desc", "anc").withColumn("__d", F.lit(True))
+                )
+                new_edges_parts.append(_chain_rule(tagged, tagged=True))
             else:
-                new_edges_parts.append(_chain_rule(closure, closure, closure, True, True))
+                new_edges_parts.append(_chain_rule(closure, tagged=False))
 
         new_edges = new_edges_parts[0]
         for p in new_edges_parts[1:]:
@@ -503,9 +534,16 @@ def classify(
             .join(closure, (F.col("child") == closure.desc) & (F.col("parent") == closure.anc), "left_anti")
         )
         new_edges, n_new = _chk_n(new_edges)
+        if progress:
+            print(
+                f"classify round {_round + 1}: {n_new} new edges "
+                f"({_time.time() - _t_round:.1f}s)", flush=True,
+            )
+            _t_round = _time.time()
         if n_new == 0:
             break
         gen_parts.append(new_edges.select("child", "parent"))
+        prev_closure = closure
         closure, rule_delta = transitive_closure(
             new_edges.select("child", "parent"), seed_closure=closure, return_delta=True
         )
