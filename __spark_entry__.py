@@ -592,8 +592,10 @@ def q_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from subont.closure import derive_direct_edges, transitive_closure
 
-    clo = transitive_closure(_forest_edges(spark, sf_dir, shortcuts=True))
-    return derive_direct_edges(clo).select("child", "parent")
+    edges = _forest_edges(spark, sf_dir, shortcuts=True)
+    clo = transitive_closure(edges)
+    # witness-edge form: closure ⋈ edges, never closure ⋈ closure
+    return derive_direct_edges(clo, edges=edges).select("child", "parent")
 
 
 def q_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:

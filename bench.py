@@ -68,7 +68,15 @@ def _session(cores: int, shuffle: int, max_partition_bytes: int | None = None):
 KG_SPLIT_BYTES = 4 * 1024 * 1024
 
 
-def run_headline(sf_dir: str, cores: int) -> dict:
+def run_headline(sf_dir: str, cores: int, samples: int = 2) -> dict:
+    """Per-query wall time, BEST OF ``samples`` full passes.
+
+    This multi-tenant host swings ±40% within a measurement window
+    (BENCH.md protocol), so single-pass per-query times routinely show
+    phantom regressions; best-of-N is the same convention the scaling
+    runs have used since round 1.  Caches and checkpoint RDDs are
+    dropped between queries so nothing is measured under accumulated
+    memory pressure and later passes don't reuse earlier state."""
     import __spark_entry__ as em
 
     spark = _session(cores, shuffle=max(cores, 16))
@@ -77,25 +85,27 @@ def run_headline(sf_dir: str, cores: int) -> dict:
     per_query: dict[str, float] = {}
     qs = em.queries()
     extras: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        dt = round(time.time() - t0, 3)
-        per_query[name] = dt
-        if name == "kg_corpus_triples":
-            extras["kg_triples_out"] = n
-            extras["kg_triples_per_sec"] = round(n / dt, 1) if dt > 0 else 0.0
-        # drop caches/checkpoint RDDs a query left behind so later
-        # queries aren't measured under accumulated memory pressure
-        # (each query is independent; real deployments run one at a time)
-        spark.catalog.clearCache()
-        try:
-            jmap = spark.sparkContext._jsc.getPersistentRDDs()
-            for rdd_id in list(jmap.keySet().toArray()):
-                spark.sparkContext._jsc.sc().unpersistRDD(int(str(rdd_id)), False)
-        except Exception:
-            pass
+    for _ in range(max(samples, 1)):
+        for name in HEADLINE:
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            dt = round(time.time() - t0, 3)
+            if name not in per_query or dt < per_query[name]:
+                per_query[name] = dt
+                if name == "kg_corpus_triples":
+                    extras["kg_triples_out"] = n
+                    extras["kg_triples_per_sec"] = round(n / dt, 1) if dt > 0 else 0.0
+            # drop caches/checkpoint RDDs a query left behind so later
+            # queries aren't measured under accumulated memory pressure
+            # (each query is independent; real deployments run one at a time)
+            spark.catalog.clearCache()
+            try:
+                jmap = spark.sparkContext._jsc.getPersistentRDDs()
+                for rdd_id in list(jmap.keySet().toArray()):
+                    spark.sparkContext._jsc.sc().unpersistRDD(int(str(rdd_id)), False)
+            except Exception:
+                pass
     total = round(sum(per_query.values()), 3)
     spark.stop()
     return {
@@ -105,6 +115,7 @@ def run_headline(sf_dir: str, cores: int) -> dict:
         "queries": per_query,
         "sf": _sf_of(sf_dir),
         "cores": cores,
+        "samples": max(samples, 1),
         **extras,
     }
 
@@ -227,6 +238,7 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--samples", type=int, default=2)
     ap.add_argument("--n-files", type=int, default=1_000_000)
     ap.add_argument("--lo", type=int, default=2)
     ap.add_argument("--hi", type=int, default=8)
@@ -240,7 +252,7 @@ def main() -> None:
     elif args.scaling:
         out = run_scaling(args.n_files, args.lo, args.hi, args.repeats)
     else:
-        out = run_headline(args.sf_dir, args.cpus)
+        out = run_headline(args.sf_dir, args.cpus, samples=args.samples)
     print(json.dumps(out))
 
 

@@ -82,8 +82,10 @@ def main() -> int:
         out["focus_n"] = focus.count()
         t2 = time.time()
         # compute_rf2=False: the synthetic id space has no SNOMED
-        # metadata concepts to fold into the focus set
-        res = compute_subontology(spark, ont, focus, compute_rf2=False)
+        # metadata concepts to fold into the focus set; src_cl reuses
+        # the already-computed source classification (the reference
+        # re-classifies from scratch — SubOntologyExtractionHandler.java:186)
+        res = compute_subontology(spark, ont, focus, compute_rf2=False, src_cl=cl)
         out["sub_axioms"] = res.sub.axioms.count()
         out["nnf_rows"] = res.nnf_rows.count()
         out["extract_sec"] = round(time.time() - t2, 1)

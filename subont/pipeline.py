@@ -654,6 +654,16 @@ def compute_subontology(
     """End-to-end extraction (SubOntologyExtractionHandler.computeSubontology,
     :99-138): focus definitions → expansion → RBox → groupers → closure
     completion → shrink → NNF."""
+    import os as _os
+    import time as _t
+
+    _t0 = _t.time()
+    _dbg = bool(_os.environ.get("SUBONT_PHASE_DEBUG"))
+
+    def _phase(name: str) -> None:
+        if _dbg:
+            print(f"[phase {_t.time() - _t0:7.1f}s] {name}", flush=True)
+
     options = options or RedundancyOptions()
     if isinstance(focus_ids, DataFrame):
         focus = focus_ids.select("concept_id")
@@ -663,9 +673,11 @@ def compute_subontology(
         focus = focus.unionByName(lit_concept_df(spark, BROWSER_RF2_METADATA)).distinct()
     focus = _chk(focus)
 
+    _phase("P1 classify source")
     # P1: reify + classify source (done by caller via model tables here)
     src_cl = src_cl or classify(ont)
 
+    _phase("P2 focus definitions")
     # P2: focus authoring definitions
     fdefs = abstract_definitions(ont, src_cl, focus.withColumnRenamed("concept_id", "sub_id"), options)
     focus_axioms = defs_to_axioms(fdefs.rows)
@@ -698,6 +710,7 @@ def compute_subontology(
     focus_axioms = _chk(focus_axioms)
     focus_axiom_ids = focus_axioms.select("axiom_id").distinct()
 
+    _phase("P4-P7 expansion loop")
     # P4-P7: expansion
     sup_axioms, defined_supporting, exp_new_pvs = _expansion_loop(
         spark, ont, src_cl, focus, focus_axioms, options, all_new_pvs
@@ -707,11 +720,13 @@ def compute_subontology(
     work_pvs = ont.pvs.unionByName(all_new_pvs).distinct()
     work_ont = replace(ont, axioms=sub_axioms, pvs=work_pvs, subprops=ont.subprops.limit(0))
 
+    _phase("P8 rbox")
     # P8: RBox
     sig_roles = work_ont.role_signature()
     rbox_edges = _chk(_populate_rbox(ont, sig_roles))
     work_ont = replace(work_ont, subprops=rbox_edges)
 
+    _phase("P9 groupers")
     # P9: groupers
     sub_signature = _chk(work_ont.class_signature())
     groupers_df = _chk(_grouper_concepts(ont, src_cl, sub_signature))
@@ -732,9 +747,11 @@ def compute_subontology(
         ).distinct()
     )
 
+    _phase("classify subontology")
     # classify subontology (P10 precondition)
     sub_cl = classify(work_ont)
 
+    _phase("P10 closure completion")
     # P10: transitive-closure completion
     sub_signature = _chk(work_ont.class_signature())
     partials = (
@@ -754,6 +771,7 @@ def compute_subontology(
     # (monotone EL; the rules still run to their fixpoint on top)
     sub_cl = classify(work_ont, seed=sub_cl)
 
+    _phase("P11 shrink")
     # P11: shrink
     shrunk = _shrink_hierarchy(
         spark, sub_axioms, work_ont, sub_cl, focus, groupers_all, focus_axiom_ids
@@ -773,6 +791,7 @@ def compute_subontology(
     )
     prop_defs = property_definitions(work_ont, sig_props)
 
+    _phase("NNF + P12 tail")
     # P12: annotation transfer + Focus/Supporting tags
     # (SubOntologyExtractionHandler.java:725-760): copy every source
     # annotation whose entity is in the sub∪NNF signature, then tag each

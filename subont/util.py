@@ -11,6 +11,20 @@ Two modes behind one seam:
   production scale survives executor loss and the round files are
   re-readable after restart (StageRunner gives the coarser
   stage-granularity resume on top).
+
+Both modes REWRAP the checkpointed RDD in a fresh ``LogicalRDD``
+WITHOUT origin statistics (``_strip_stats``).  Spark's
+``Dataset.checkpoint`` carries the origin plan's size estimate into the
+new leaf (LogicalRDD.computeStats = originStats.getOrElse(default)); in
+a fixpoint loop those estimates COMPOUND MULTIPLICATIVELY round over
+round — size ≈ product over every join ever executed — until the
+driver spends minutes per query in BigInteger (Karatsuba/Toom-Cook)
+multiplication inside SizeInBytesOnlyStatsPlanVisitor.  Measured on the
+360k-concept stress extraction: the driver wedged for >30 min
+at ~1000% CPU purely in stats math; with the strip, per-round planning
+cost is flat (see BENCH.md round 4).  The rewrapped leaf reports the
+conservative default size, and AQE's runtime statistics make the actual
+broadcast/skew decisions, as they already did.
 """
 
 from __future__ import annotations
@@ -22,6 +36,20 @@ from pyspark.sql import DataFrame
 
 def _durable_dir() -> str | None:
     return os.environ.get("SUBONT_CHECKPOINT_DIR") or None
+
+
+def _strip_stats(df: DataFrame) -> DataFrame:
+    """Rewrap a checkpointed DataFrame's RDD in a fresh LogicalRDD with
+    NO origin statistics (and fresh attribute ids, which also keeps the
+    Spark 4.1 shared-leaf analyzer bug worked around).  The underlying
+    rows were already defensively copied by Dataset.checkpoint, so the
+    rewrap is plan-level only — no extra job, no data movement."""
+    spark = df.sparkSession
+    jdf = df._jdf
+    jrdd = jdf.queryExecution().toRdd()
+    jschema = spark._jvm.org.apache.spark.sql.types.DataType.fromJson(df.schema.json())
+    jdf2 = spark._jsparkSession.internalCreateDataFrame(jrdd, jschema, False)
+    return DataFrame(jdf2, spark)
 
 
 def chk(df: DataFrame) -> DataFrame:
@@ -41,8 +69,8 @@ def chk(df: DataFrame) -> DataFrame:
         sc = df.sparkSession.sparkContext
         if sc.getCheckpointDir() is None:
             sc.setCheckpointDir(d)
-        return df.checkpoint(eager=False)
-    return df.localCheckpoint(eager=False)
+        return _strip_stats(df.checkpoint(eager=False))
+    return _strip_stats(df.localCheckpoint(eager=False))
 
 
 def chk_n(df: DataFrame) -> tuple[DataFrame, int]:
