@@ -317,8 +317,27 @@ def classify(
 
     # ---- role hierarchy (tiny; A8) --------------------------------------
     prop_closure = transitive_closure(ont.subprops)
-    role_sub_refl = prop_closure.select(
-        F.col("desc").alias("r_child"), F.col("anc").alias("r_parent")
+    # genuinely REFLEXIVE role compatibility: strict role closure ∪
+    # identity over every mentioned role.  One tiny broadcastable table
+    # lets each rule site test r ⊑* s with a single (semi-)join — the
+    # previous equality-branch ∪ strict-walk pattern evaluated its
+    # closure-scanning input subtree TWICE per site, doubling the rule
+    # stages per fixpoint round.
+    role_ids = (
+        ont.pvs.select(F.col("role_id").alias("r"))
+        .unionByName(ont.subprops.select(F.col("child").alias("r")))
+        .unionByName(ont.subprops.select(F.col("parent").alias("r")))
+        .unionByName(ont.role_chains.select(F.col("super_role").alias("r")))
+        .unionByName(ont.role_chains.select(F.col("left_role").alias("r")))
+        .unionByName(ont.role_chains.select(F.col("right_role").alias("r")))
+        .unionByName(ont.transitive_roles.select(F.col("role_id").alias("r")))
+        .distinct()
+    )
+    role_compat = (
+        prop_closure.select(F.col("desc").alias("r_child"), F.col("anc").alias("r_parent"))
+        .unionByName(role_ids.select(F.col("r").alias("r_child"), F.col("r").alias("r_parent")))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
 
     pv_conj = _pv_conjuncts(ont).localCheckpoint(eager=False)
@@ -389,12 +408,9 @@ def classify(
             simple_pvs.select(F.col("pv_id").alias("pv1id"), F.col("role_id").alias("r1"), F.col("filler_concept").alias("f1")),
             "pv1id",
         )
-        # r1 ⊑* left_role
-        r1_ok = step1.join(
-            chains.select("super_role", F.col("left_role"), F.col("right_role")),
-            (F.col("r1") == F.col("left_role")),
-        ).unionByName(
-            step1.join(role_sub_refl, F.col("r1") == F.col("r_child"))
+        # r1 ⊑* left_role (reflexive role_compat: ONE join, no union)
+        r1_ok = (
+            step1.join(F.broadcast(role_compat), F.col("r1") == F.col("r_child"))
             .join(chains, F.col("r_parent") == F.col("left_role"))
             .drop("r_child", "r_parent")
         )
@@ -406,12 +422,11 @@ def classify(
             simple_pvs.select(F.col("pv_id").alias("pv2id"), F.col("role_id").alias("r2"), F.col("filler_concept").alias("g")),
             "pv2id",
         )
-        r2_ok = step2.filter(F.col("r2") == F.col("right_role")).unionByName(
-            step2.join(
-                role_sub_refl,
-                (F.col("r2") == F.col("r_child")) & (F.col("right_role") == F.col("r_parent")),
-                "left_semi",
-            )
+        # r2 ⊑* right_role (reflexive role_compat: ONE semi-join)
+        r2_ok = step2.join(
+            F.broadcast(role_compat),
+            (F.col("r2") == F.col("r_child")) & (F.col("right_role") == F.col("r_parent")),
+            "left_semi",
         )
         # target named pv: exact super_role with filler ⊒* g
         g_up = r2_ok.join(
@@ -471,14 +486,11 @@ def classify(
             pv_role.select(F.col("pv_id").alias("R"), F.col("role_id").alias("role2")), "R"
         )
         pv_edges = (
-            cov_r.filter(F.col("role1") == F.col("role2"))
-            .unionByName(
-                cov_r.join(
-                    role_sub_refl,
-                    (F.col("role1") == F.col("r_child"))
-                    & (F.col("role2") == F.col("r_parent")),
-                    "left_semi",
-                )
+            cov_r.join(
+                F.broadcast(role_compat),
+                (F.col("role1") == F.col("r_child"))
+                & (F.col("role2") == F.col("r_parent")),
+                "left_semi",
             )
             .select(F.col("L").alias("child"), F.col("R").alias("parent"))
         )

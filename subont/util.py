@@ -12,8 +12,7 @@ Two modes behind one seam:
   re-readable after restart (StageRunner gives the coarser
   stage-granularity resume on top).
 
-Both modes REWRAP the checkpointed RDD in a fresh ``LogicalRDD``
-WITHOUT origin statistics (``_strip_stats``).  Spark's
+Both modes cap SIZE-ESTIMATE COMPOUNDING.  Spark's
 ``Dataset.checkpoint`` carries the origin plan's size estimate into the
 new leaf (LogicalRDD.computeStats = originStats.getOrElse(default)); in
 a fixpoint loop those estimates COMPOUND MULTIPLICATIVELY round over
@@ -21,10 +20,16 @@ round — size ≈ product over every join ever executed — until the
 driver spends minutes per query in BigInteger (Karatsuba/Toom-Cook)
 multiplication inside SizeInBytesOnlyStatsPlanVisitor.  Measured on the
 360k-concept stress extraction: the driver wedged for >30 min
-at ~1000% CPU purely in stats math; with the strip, per-round planning
-cost is flat (see BENCH.md round 4).  The rewrapped leaf reports the
-conservative default size, and AQE's runtime statistics make the actual
-broadcast/skew decisions, as they already did.
+at ~1000% CPU purely in stats math; a 14-round self-join microbench
+goes 0.2s → 7.6s of planning per round.  The fix is ADAPTIVE: when the
+carried estimate exceeds ``_STATS_BITLEN_CAP`` bits, the checkpointed
+RDD is rewrapped in a fresh stats-free ``LogicalRDD``
+(``_strip_stats``), resetting the compounding; below the cap the
+normal checkpoint is returned untouched (keeping its preserved output
+partitioning/ordering — stripping unconditionally cost ~45% on the
+fixture CLI e2e).  The stripped leaf reports the conservative default
+size, and AQE's runtime statistics make the actual broadcast/skew
+decisions, as they already did.
 """
 
 from __future__ import annotations
@@ -36,6 +41,13 @@ from pyspark.sql import DataFrame
 
 def _durable_dir() -> str | None:
     return os.environ.get("SUBONT_CHECKPOINT_DIR") or None
+
+
+# 256 bits ≈ a 10^77 size estimate: far beyond any physical size, far
+# below the 10^100000-digit monsters compounding produces.  Estimates
+# between strips multiply at most a few dozen leaves of ≤2^256 each, so
+# BigInteger work stays in the trivial schoolbook range.
+_STATS_BITLEN_CAP = 256
 
 
 def _strip_stats(df: DataFrame) -> DataFrame:
@@ -69,8 +81,21 @@ def chk(df: DataFrame) -> DataFrame:
         sc = df.sparkSession.sparkContext
         if sc.getCheckpointDir() is None:
             sc.setCheckpointDir(d)
-        return _strip_stats(df.checkpoint(eager=False))
-    return _strip_stats(df.localCheckpoint(eager=False))
+        out = df.checkpoint(eager=False)
+    else:
+        out = df.localCheckpoint(eager=False)
+    # adaptive compounding cap: the carried estimate is memoized on the
+    # new leaf (fromDataset already computed it), so the probe is free
+    try:
+        # py4j delivers the scala BigInt as a python int; values stay
+        # small (< a few thousand bits) because the cap resets them
+        # before they can grow
+        bits = int(out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()).bit_length()
+    except Exception:
+        bits = 0
+    if bits > _STATS_BITLEN_CAP:
+        return _strip_stats(out)
+    return out
 
 
 def chk_n(df: DataFrame) -> tuple[DataFrame, int]:
