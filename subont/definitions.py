@@ -61,12 +61,74 @@ from .util import chk as _chk
 from .util import chk_n as _chk_n
 
 
+def _closest_prim_map(cl: Classified) -> DataFrame:
+    """Per-classification (node → closest primitive ancestor) map.
+
+    The D4 BFS walks cl.direct from a node, skipping named PVs,
+    collecting the FIRST primitive on each path and recursing only
+    through non-primitive parents.  That is a pure function of the
+    taxonomy — loop-INVARIANT across the expansion loop's rounds and
+    across every abstract_definitions batch over the same ``cl`` — so
+    it is computed ONCE and cached on the Classified object:
+
+        e         = direct edges whose parent is not a PV name
+        prim_par  = e restricted to primitive parents      (node, prim)
+        np_edges  = e restricted to non-primitive parents
+        cp        = prim_par ∪ (TC(np_edges) ⋈ prim_par)
+
+    Every node on a TC(np_edges) path is non-primitive by construction
+    (each hop's parent is), which is exactly the BFS's recursion
+    condition; the identity part covers primitives among the node's own
+    direct parents.  Equivalence vs the per-group BFS is gated in
+    tests/test_definitions.py."""
+    cached = getattr(cl, "_cp_map", None)
+    if cached is not None:
+        return cached
+    from .closure import transitive_closure
+
+    pv_ids = cl.pv_names.select(F.col("pv_id").alias("id"))
+    nonprim = cl.non_primitive.select(F.col("id"))
+    e = cl.direct.join(pv_ids, cl.direct.parent == F.col("id"), "left_anti")
+    prim_par = e.join(nonprim, e.parent == F.col("id"), "left_anti").select(
+        F.col("child").alias("node"), F.col("parent").alias("prim")
+    )
+    np_edges = e.join(nonprim, e.parent == F.col("id"), "left_semi").select("child", "parent")
+    reach = transitive_closure(np_edges)  # (desc, anc), every anc non-primitive
+    cp = (
+        prim_par.unionByName(
+            reach.join(prim_par, reach.anc == prim_par.node)
+            .select(F.col("desc").alias("node"), "prim")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cl._cp_map = cp
+    return cp
+
+
 def closest_primitive_ancestors(
     start: DataFrame, cl: Classified, max_depth: int = 64
 ) -> DataFrame:
-    """D4: BFS up the *direct* hierarchy from each (gid, node), skipping
-    named PVs, collecting the first primitive on each path
-    (DefinitionGeneratorAbstract.java:158-183).  Returns (gid, prim)."""
+    """D4: closest primitive ancestors per (gid, node), skipping named
+    PVs (DefinitionGeneratorAbstract.java:158-183).  Returns (gid, prim).
+
+    One join against the cached per-classification map — the expansion
+    loop calls this every round; the map is computed once per ``cl``."""
+    cp = _closest_prim_map(cl)
+    return (
+        start.select("gid", "node").distinct()
+        .join(cp, "node")
+        .select("gid", "prim")
+        .distinct()
+    )
+
+
+def _closest_primitive_ancestors_bfs(
+    start: DataFrame, cl: Classified, max_depth: int = 64
+) -> DataFrame:
+    """Reference twin of D4: per-group BFS up the direct hierarchy, one
+    frontier round per taxonomy level (kept as the equivalence oracle
+    for the precomputed-map form above)."""
     pv_ids = cl.pv_names.select(F.col("pv_id").alias("id"))
     nonprim = cl.non_primitive.select(F.col("id"))
     out = None
