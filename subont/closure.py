@@ -167,6 +167,16 @@ class Classified:
     gci_names: DataFrame
     gen_edges: DataFrame
 
+    def has_gci_names(self) -> bool:
+        """Whether the classification introduced any GCI names — cached:
+        the NNF generator's GCI-bypass loop probes this once per batch
+        (one Spark job each) though it is fixed per classification."""
+        cached = getattr(self, "_has_gci_names", None)
+        if cached is None:
+            cached = not self.gci_names.isEmpty()
+            self._has_gci_names = cached
+        return cached
+
     def ancestors_of(self, ids: DataFrame, id_col: str = "concept_id") -> DataFrame:
         """Distinct strict ancestors of a set (batched A2)."""
         return (

@@ -171,7 +171,10 @@ def _rebuild_role_groups(
         F.col("filler_concept").isNotNull() | F.col("is_data")
     ).select("sub_id", "axiom_id", "is_equiv", "pv_id")
     groups = joined.filter(F.col("filler_concept").isNull() & ~F.col("is_data"))
-    if groups.isEmpty():
+    # hoisted ontology-level gate (cached, one job ever) before the
+    # per-batch probe: rebuilt groups derive from existing group PVs, so
+    # a group-free ontology can never produce a non-empty `groups` here
+    if not ont.has_group_pvs() or groups.isEmpty():
         return pv_rows, ont.pvs.limit(0)
 
     members = groups.select(
@@ -328,10 +331,9 @@ def abstract_definitions(
     group_keys = parents.select(
         "sub_id", "axiom_id", "is_equiv", gkey.alias("gid")
     ).distinct()
-    if bfs_start.isEmpty():
-        bfs_prims = group_keys.select("gid", F.lit(None).cast("long").alias("prim")).limit(0)
-    else:
-        bfs_prims = closest_primitive_ancestors(bfs_start, cl)
+    # no emptiness probe: the map form is a single join, safe (and free
+    # of per-round jobs) on an empty start set
+    bfs_prims = closest_primitive_ancestors(bfs_start, cl)
     closest = prim_parents.select(
         F.xxhash64(F.col("sub_id"), F.col("axiom_id")).alias("gid"), "prim"
     ).unionByName(bfs_prims).distinct()
@@ -372,11 +374,11 @@ def _eliminate_sufficient_proximal_gcis(
     associated GCIs is *type 1* for class C iff C ⊑ some GCI name of the
     parent; replace it by the parent's proximal primitives (iterating, as
     replacements may themselves be GCI parents)."""
+    if not ont.has_gcis():  # cached ontology-level gate, no per-call job
+        return closest
     gci_of_super = ont.axioms.filter(F.col("is_gci")).select(
         F.col("gci_super").alias("prim"), F.col("sub_id").alias("gci_name")
     )
-    if gci_of_super.isEmpty():
-        return closest
     out = None
     frontier = closest.join(group_keys.select("gid", "sub_id").distinct(), "gid")
     for _ in range(16):
@@ -490,20 +492,23 @@ def nnf_definitions(
     parents = classes.join(cl.direct, classes.sub_id == cl.direct.child).select(
         "sub_id", F.col("parent").alias("aid")
     ).join(pv_ids, "aid", "left_anti")
-    # GCI-name bypass (DefinitionGeneratorNNF.java:37-51)
-    for _ in range(16):
-        gci_parents = parents.join(gci_ids, "aid", "left_semi")
-        if gci_parents.isEmpty():
-            break
-        parents = parents.join(gci_ids, "aid", "left_anti")
-        lifted = (
-            gci_parents.join(cl.direct, gci_parents.aid == cl.direct.child)
-            .select("sub_id", F.col("parent").alias("aid"))
-            .join(pv_ids, "aid", "left_anti")
-        )
-        parents = _chk(parents.unionByName(lifted).distinct())
-    else:
-        raise RuntimeError("nnf_definitions: GCI bypass did not terminate")
+    # GCI-name bypass (DefinitionGeneratorNNF.java:37-51); the cached
+    # classification-level gate skips the whole loop (and its per-batch
+    # probe job) when no GCI names exist at all
+    if cl.has_gci_names():
+        for _ in range(16):
+            gci_parents = parents.join(gci_ids, "aid", "left_semi")
+            if gci_parents.isEmpty():
+                break
+            parents = parents.join(gci_ids, "aid", "left_anti")
+            lifted = (
+                gci_parents.join(cl.direct, gci_parents.aid == cl.direct.child)
+                .select("sub_id", F.col("parent").alias("aid"))
+                .join(pv_ids, "aid", "left_anti")
+            )
+            parents = _chk(parents.unionByName(lifted).distinct())
+        else:
+            raise RuntimeError("nnf_definitions: GCI bypass did not terminate")
 
     if options.less_specific:
         parents = eliminate_weaker(

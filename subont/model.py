@@ -399,6 +399,30 @@ class Ontology:
     def with_axioms(self, axioms: DataFrame) -> "Ontology":
         return replace(self, axioms=axioms)
 
+    def has_gcis(self) -> bool:
+        """Whether any GCI axiom exists — loop-INVARIANT per ontology, so
+        cached: the expansion loop and every definition-generator call
+        would otherwise re-probe it with one Spark job per round."""
+        cached = getattr(self, "_has_gcis", None)
+        if cached is None:
+            cached = not self.axioms.filter(F.col("is_gci")).isEmpty()
+            self._has_gcis = cached
+        return cached
+
+    def has_group_pvs(self) -> bool:
+        """Whether any PV has a complex (role-group) filler.  Cached for
+        the same reason as has_gcis: group rebuilding can only ever fire
+        when the source ontology carries at least one group PV (rebuilt
+        groups are derived from existing ones), so a group-free ontology
+        skips the per-batch probe in _rebuild_role_groups entirely."""
+        cached = getattr(self, "_has_group_pvs", None)
+        if cached is None:
+            cached = not self.pvs.filter(
+                F.col("filler_concept").isNull() & ~F.col("is_data")
+            ).isEmpty()
+            self._has_group_pvs = cached
+        return cached
+
     def class_signature(self) -> DataFrame:
         """All named (positive-id) classes mentioned in current axioms —
         mirrors OWLOntology.getClassesInSignature(): subjects, concept

@@ -342,13 +342,16 @@ def star_module(ont: Ontology, signature: DataFrame, max_alternations: int = 16)
         cur = locality_module(cur, signature, "top")
         # stability must cover EVERY axiom family the extraction can
         # shrink — omitting transitive/reflexive roles would stop the
-        # alternation one pass early when only those shrank
+        # alternation one pass early when only those shrank.  All five
+        # counts fused into ONE union-count job per alternation.
+        one = F.lit(1).alias("one")
         n = (
-            cur.axioms.count()
-            + cur.subprops.count()
-            + cur.role_chains.count()
-            + cur.transitive_roles.count()
-            + cur.reflexive_roles.count()
+            cur.axioms.select(one)
+            .unionByName(cur.subprops.select(one))
+            .unionByName(cur.role_chains.select(one))
+            .unionByName(cur.transitive_roles.select(one))
+            .unionByName(cur.reflexive_roles.select(one))
+            .count()
         )
         if n == prev_count:
             break

@@ -182,8 +182,9 @@ def _expansion_loop(
     new_pvs = ont.pvs.limit(0)
     nonprim = src_cl.non_primitive
     # hoisted: skip the per-round attached-GCI probe when there are no
-    # GCIs at all (one job total instead of one per round)
-    have_gcis = not ont.axioms.filter(F.col("is_gci")).isEmpty()
+    # GCIs at all (cached on the ontology — one job ever, shared with
+    # every definition-generator call)
+    have_gcis = ont.has_gcis()
 
     for _ in range(max_rounds):
         if n_frontier == 0:
@@ -701,7 +702,7 @@ def compute_subontology(
         focus.withColumnRenamed("concept_id", "gci_super"), "gci_super", "left_semi"
     )
     focus_gcis = focus_anc_gcis.unionByName(attached_to_focus).distinct()
-    if not focus_gcis.isEmpty():
+    if ont.has_gcis() and not focus_gcis.isEmpty():
         gci_rows = gci_authoring_definitions(ont, src_cl, focus_gcis.select("gci_id"), options)
         gci_super_map = ont.axioms.filter(F.col("is_gci")).select("sub_id", "gci_super").distinct()
         focus_axioms = focus_axioms.unionByName(
