@@ -31,6 +31,13 @@ import time
 
 
 def main() -> int:
+    # local[32] packs every executor thread into ONE JVM, so the heap
+    # must hold the 63M-row closure's shuffle blocks for all 32 tasks at
+    # once — 8g (the test default) is borderline there (GC-locker
+    # retries, occasional OOM).  On a real cluster this is per-executor
+    # memory, sized by spark-submit; here the stress harness defaults
+    # higher and stays overridable.
+    os.environ.setdefault("SUBONT_DRIVER_MEM", "24g")
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=360_000)
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
