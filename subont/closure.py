@@ -46,6 +46,26 @@ from .model import Ontology
 from .util import chk as _chk
 from .util import chk_n as _chk_n
 
+# R-chain delta-first switch (tests monkeypatch MIN_CLOSURE to 0 to
+# force the delta-first path on fixture-sized inputs): use the three
+# delta-first join trees when the closure holds at least MIN_CLOSURE
+# rows AND the round's TC delta is at most closure/RATIO — otherwise
+# the fused delta-tagged tree (fewer query stages) wins.
+DELTA_FIRST_MIN_CLOSURE = 2_000_000
+DELTA_FIRST_RATIO = 20
+
+
+def _anti_pairs(cand: DataFrame, closure: DataFrame) -> DataFrame:
+    """cand \\ closure on (desc, anc), shaped for a SMALL cand against a
+    huge closure: restrict the closure to cand's desc set with a
+    broadcast semi-join FIRST (a scan of the cached closure, no closure
+    shuffle), then anti-join small × small.  A plain left_anti against
+    the full closure sort-merge-shuffles the whole closure every call —
+    at the 360k stress that is a ~63M-row shuffle per fixpoint round."""
+    keys = cand.select(F.col("desc").alias("__k")).distinct()
+    restricted = closure.join(F.broadcast(keys), closure["desc"] == F.col("__k"), "left_semi")
+    return cand.join(restricted, ["desc", "anc"], "left_anti")
+
 
 def transitive_closure(
     edges: DataFrame,
@@ -71,7 +91,6 @@ def transitive_closure(
     else:
         base = edges
     closure = _chk(base)
-    delta_parts = [edges if seed_closure is not None else closure]
     # classic semi-naive: the frontier delta extends by ONE edge hop per
     # round, so each round joins the (shrinking) delta against the small
     # edge relation — never closure ⋈ closure, which squares the hub
@@ -82,20 +101,49 @@ def transitive_closure(
     # re-selected with fresh names to avoid expression-id ambiguity.
     hop = (seed_closure.select("desc", "anc").unionByName(edges).distinct() if seed_closure is not None else edges)
     hop = hop.select(F.col("desc").alias("hop_desc"), F.col("anc").alias("hop_anc"))
-    delta = closure
+    if seed_closure is not None:
+        # SEEDED frontier: edges ∪ (seed ∘ edges) — every new pair
+        # decomposes as s0 e1 s1 e2 … (si seed paths, ei new edges), so
+        # one LEFT extension by the closed seed plus the loop's RIGHT
+        # hop extensions reach them all.  Starting the loop from the
+        # full closure instead (the previous form) re-ran a
+        # closure ∘ closure hop — Σ_y |desc(y)|·|anc(y)| intermediate
+        # rows — on EVERY classify round, which measured ~200 s/round at
+        # the 360k stress even for <2k-edge deltas.
+        left_ext = (
+            seed_closure.select(F.col("desc").alias("s_desc"), F.col("anc").alias("s_anc"))
+            .join(
+                F.broadcast(edges.select(F.col("desc").alias("e_child"), F.col("anc").alias("e_anc"))),
+                F.col("s_anc") == F.col("e_child"),
+            )
+            .select(F.col("s_desc").alias("desc"), F.col("e_anc").alias("anc"))
+        )
+        new0 = _chk(
+            _anti_pairs(left_ext.distinct(), closure)
+        )
+        closure = closure.unionByName(new0)
+        delta = new0.unionByName(edges).distinct()
+        delta_parts = [edges, new0]
+    else:
+        delta = closure
+        delta_parts = [closure]
     # per-round cost discipline: only the (shrinking) delta is
     # checkpointed; the accumulated closure is a lazy UNION of already-
     # checkpointed deltas, so nothing re-materializes the full closure
     # each round (round-1 profile: the per-round closure re-checkpoint
     # was ~half the fixpoint's serial cost).
     for _ in range(max_rounds):
-        delta = (
+        ext = (
             delta.select(F.col("desc").alias("d_desc"), F.col("anc").alias("d_anc"))
             .join(hop, F.col("d_anc") == F.col("hop_desc"))
             .select(F.col("d_desc").alias("desc"), F.col("hop_anc").alias("anc"))
             .distinct()
-            .join(closure, ["desc", "anc"], "left_anti")
         )
+        if seed_closure is not None:
+            # seeded frontiers are small — keep the closure un-shuffled
+            delta = _anti_pairs(ext, closure)
+        else:
+            delta = ext.join(closure, ["desc", "anc"], "left_anti")
         delta, n = _chk_n(delta)
         if n == 0:
             break
@@ -453,7 +501,146 @@ def classify(
             ["super_role", "g"],
         ).select(F.col("X").alias("child"), F.col("tgt").alias("parent"))
 
+    def _site3_target(df: DataFrame, clo: DataFrame) -> DataFrame:
+        """Shared tail of the delta-first chain variants: expand g by
+        closure (∪ identity), then join the target named PV on
+        (super_role, filler).  df: (X, super_role, g) → (child, parent)."""
+        expanded = (
+            df.join(clo.select(F.col("desc").alias("g"), F.col("anc").alias("g2")), "g")
+            .select("X", "super_role", F.col("g2").alias("g"))
+        )
+        allg = df.select("X", "super_role", "g").unionByName(expanded)
+        return allg.join(
+            simple_pvs.select(
+                F.col("pv_id").alias("tgt"), F.col("role_id").alias("super_role"),
+                F.col("filler_concept").alias("g"),
+            ),
+            ["super_role", "g"],
+        ).select(F.col("X").alias("child"), F.col("tgt").alias("parent"))
+
+    def _chain_rule_delta(clo: DataFrame, delta: DataFrame) -> DataFrame:
+        """R-chain tail-round evaluation: three delta-FIRST join trees.
+
+        The fused delta-tagged tree (``_chain_rule(tagged=True)``) pays
+        full-closure intermediates at its first two sites every round —
+        measured ~200 s/round at the 360k stress even when the round
+        derives <2k edges.  Here each closure use site gets its own
+        variant with the Δ rows joined FIRST, so every intermediate is
+        bounded by |Δ| × PV structure; the full closure only appears as
+        a probe side (small broadcast keys → one scan, no wide output).
+        Union(A,B,C) = derivations using Δ at ≥1 site — identical to the
+        tagged filter da|db|dc (identity pseudo-rows are static, so they
+        appear only at non-Δ sites).  Equivalence vs the fused/naive
+        forms is gated in tests/test_closure.py (forced via the
+        monkeypatched threshold) and by the stress harness's 2k
+        naive-check."""
+        rc_b = F.broadcast(role_compat)
+        d = delta.select("desc", "anc")
+        pv1s = simple_pvs.select(
+            F.col("pv_id").alias("pv1id"), F.col("role_id").alias("r1"),
+            F.col("filler_concept").alias("f1"),
+        )
+        pv2s = simple_pvs.select(
+            F.col("pv_id").alias("pv2id"), F.col("role_id").alias("r2"),
+            F.col("filler_concept").alias("g"),
+        )
+
+        # --- variant A: Δ at site 1 (X ⊑ pv1) ----------------------------
+        a = (
+            d.select(F.col("desc").alias("X"), F.col("anc").alias("pv1id"))
+            .join(pv1s, "pv1id")
+            .join(rc_b, F.col("r1") == F.col("r_child"))
+            .join(chains, F.col("r_parent") == F.col("left_role"))
+            .drop("r_child", "r_parent")
+            .join(clo.select(F.col("desc").alias("f1"), F.col("anc").alias("pv2id")), "f1")
+            .join(pv2s, "pv2id")
+            .join(
+                rc_b,
+                (F.col("r2") == F.col("r_child")) & (F.col("right_role") == F.col("r_parent")),
+                "left_semi",
+            )
+        )
+        out = _site3_target(a.select("X", "super_role", "g"), clo)
+
+        # --- variant B: Δ at site 2 (f1 ⊑ pv2) ---------------------------
+        b = (
+            d.select(F.col("desc").alias("f1"), F.col("anc").alias("pv2id"))
+            .join(pv2s, "pv2id")
+            .join(rc_b, F.col("r2") == F.col("r_child"))
+            .join(chains, F.col("r_parent") == F.col("right_role"))
+            .drop("r_child", "r_parent")
+            .join(
+                simple_pvs.select(
+                    F.col("filler_concept").alias("f1"), F.col("pv_id").alias("pv1id"),
+                    F.col("role_id").alias("r1"),
+                ),
+                "f1",
+            )
+            .join(
+                rc_b,
+                (F.col("r1") == F.col("r_child")) & (F.col("left_role") == F.col("r_parent")),
+                "left_semi",
+            )
+        )
+        bx = b.select(F.col("pv1id").alias("X"), "super_role", "g").unionByName(
+            b.join(clo.select(F.col("desc").alias("Xd"), F.col("anc").alias("pv1id")), "pv1id")
+            .select(F.col("Xd").alias("X"), "super_role", "g")
+        )
+        out = out.unionByName(_site3_target(bx, clo))
+
+        # --- variant C: Δ at site 3 (g ⊑ g2) -----------------------------
+        c = (
+            d.select(F.col("desc").alias("g0"), F.col("anc").alias("g2"))
+            .join(
+                simple_pvs.select(
+                    F.col("filler_concept").alias("g2"), F.col("pv_id").alias("tgt"),
+                    F.col("role_id").alias("super_role"),
+                ),
+                "g2",
+            )
+            .join(chains, "super_role")
+            .join(
+                simple_pvs.select(
+                    F.col("filler_concept").alias("g0"), F.col("pv_id").alias("pv2id"),
+                    F.col("role_id").alias("r2"),
+                ),
+                "g0",
+            )
+            .join(
+                rc_b,
+                (F.col("r2") == F.col("r_child")) & (F.col("right_role") == F.col("r_parent")),
+                "left_semi",
+            )
+            .join(clo.select(F.col("desc").alias("f1"), F.col("anc").alias("pv2id")), "pv2id")
+            .join(
+                simple_pvs.select(
+                    F.col("filler_concept").alias("f1"), F.col("pv_id").alias("pv1id"),
+                    F.col("role_id").alias("r1"),
+                ),
+                "f1",
+            )
+            .join(
+                rc_b,
+                (F.col("r1") == F.col("r_child")) & (F.col("left_role") == F.col("r_parent")),
+                "left_semi",
+            )
+        )
+        out_c = c.select(F.col("pv1id").alias("X"), "tgt").unionByName(
+            c.join(clo.select(F.col("desc").alias("Xd"), F.col("anc").alias("pv1id")), "pv1id")
+            .select(F.col("Xd").alias("X"), "tgt")
+        )
+        return out.unionByName(
+            out_c.select(F.col("X").alias("child"), F.col("tgt").alias("parent"))
+        )
+
     rule_delta = None  # None → full evaluation (round 1 / naive mode)
+    # delta-first R-chain switch: pays off only when the closure dwarfs
+    # the round's delta (tail rounds at production scale).  The fused
+    # tagged tree stays the fixture/small-scale default — it runs ~1/3
+    # the query stages, which at fixture scale ARE the wall clock.
+    n_closure_est = (
+        closure.count() if (have_chains and not naive) else 0
+    )
     import time as _time
 
     _t_round = _time.time()
@@ -536,25 +723,38 @@ def classify(
         # ---- R-chain: existential propagation onto named PVs --------------
         if have_chains:
             if semi:
-                # closure == prev_closure ⊎ rule_delta (every delta part
-                # is anti-joined before accumulation, so the split is
-                # exact and disjoint) — the delta-tagged closure is a
-                # free union, never a closure ⋈ Δ membership join
-                tagged = prev_closure.withColumn("__d", F.lit(False)).unionByName(
-                    rule_delta.select("desc", "anc").withColumn("__d", F.lit(True))
+                n_delta = (
+                    rule_delta.count()
+                    if n_closure_est >= DELTA_FIRST_MIN_CLOSURE
+                    else None
                 )
-                new_edges_parts.append(_chain_rule(tagged, tagged=True))
+                if n_delta is not None:
+                    n_closure_est += n_delta  # closure only grows
+                if n_delta is not None and n_delta <= n_closure_est // DELTA_FIRST_RATIO:
+                    # tail round at scale: every intermediate Δ-bounded
+                    new_edges_parts.append(_chain_rule_delta(closure, rule_delta))
+                else:
+                    # closure == prev_closure ⊎ rule_delta (every delta
+                    # part is anti-joined before accumulation, so the
+                    # split is exact and disjoint) — the delta-tagged
+                    # closure is a free union, never a closure ⋈ Δ
+                    # membership join
+                    tagged = prev_closure.withColumn("__d", F.lit(False)).unionByName(
+                        rule_delta.select("desc", "anc").withColumn("__d", F.lit(True))
+                    )
+                    new_edges_parts.append(_chain_rule(tagged, tagged=True))
             else:
                 new_edges_parts.append(_chain_rule(closure, tagged=False))
 
         new_edges = new_edges_parts[0]
         for p in new_edges_parts[1:]:
             new_edges = new_edges.unionByName(p)
-        new_edges = (
+        new_edges = _anti_pairs(
             new_edges.filter(F.col("child") != F.col("parent"))
-            .distinct()
-            .join(closure, (F.col("child") == closure.desc) & (F.col("parent") == closure.anc), "left_anti")
-        )
+            .select(F.col("child").alias("desc"), F.col("parent").alias("anc"))
+            .distinct(),
+            closure,
+        ).select(F.col("desc").alias("child"), F.col("anc").alias("parent"))
         new_edges, n_new = _chk_n(new_edges)
         if progress:
             print(

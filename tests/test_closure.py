@@ -211,6 +211,47 @@ def test_semi_naive_equals_naive_randomized(spark):
         assert fast.closure.exceptAll(slow.closure).isEmpty(), seed
         assert slow.closure.exceptAll(fast.closure).isEmpty(), seed
 
+def test_delta_first_chain_equals_naive(spark, monkeypatch):
+    """The delta-first R-chain variants (production tail-round path,
+    normally gated behind a 2M-row closure) must produce EXACTLY the
+    naive fixpoint — forced here by zeroing the size gate so every
+    semi-naive round takes the three delta-first join trees."""
+    import random
+
+    from subont import closure as C
+    from subont.model import And, OntologyBuilder, Some
+
+    monkeypatch.setattr(C, "DELTA_FIRST_MIN_CLOSURE", 0)
+    monkeypatch.setattr(C, "DELTA_FIRST_RATIO", 1)
+
+    for seed in (5, 31):
+        rng = random.Random(seed)
+        b = OntologyBuilder()
+        R, S, T = 100, 101, 102
+        b.add_subproperty(S, R)
+        b.transitive_roles.add(R)
+        b.role_chains.append(dict(super_role=T, left_role=T, right_role=R))
+        b.role_chains.append(dict(super_role=R, left_role=S, right_role=R))
+        n = 14
+        for c in range(1, n):
+            b.add_subclass(c, rng.randrange(c + 1, n + 1) if c + 1 <= n else n)
+        for _ in range(8):
+            c, f = rng.randrange(1, n), rng.randrange(1, n)
+            b.add_subclass(c, Some(rng.choice([R, S, T]), f))
+        for _ in range(3):
+            a, c2, f = rng.randrange(1, n), rng.randrange(1, n), rng.randrange(1, n)
+            if a != c2:
+                b.add_equiv(a, And([c2, Some(rng.choice([R, S]), f)]))
+        ont = b.build(spark)
+        try:
+            fast = classify(ont)
+            slow = classify(ont, naive=True)
+        except ValueError:
+            continue  # random equivalence cycle — rejected by both paths
+        assert fast.closure.exceptAll(slow.closure).isEmpty(), seed
+        assert slow.closure.exceptAll(fast.closure).isEmpty(), seed
+
+
 def test_classify_direct_witness_equivalence(spark):
     """classify derives direct edges via the GENERATING edge witness set
     (never closure ⋈ closure — the hub-skew square).  Gate: the
