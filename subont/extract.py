@@ -45,18 +45,23 @@ _STMT_RE = re.compile(
 )
 
 
-def _link_score(ent: pd.Series) -> pd.Series:
-    # canonical surface form scores 1.0, alias forms 0.9
-    return pd.Series(1.0, index=ent.index).where(~ent.str.contains("_a"), 0.9)
+def _make_statement_scan():
+    """Build the mapInPandas scan function.  The scan and everything it
+    references are serialized BY VALUE (nested defs + captured locals,
+    no module-level function references): the executor python workers
+    need pandas but NOT the subont package, so the UDF runs even when
+    the SparkSession predates the import / no --py-files shipped the
+    package.  tests/test_pickle_by_value.py unpickles it with subont
+    unimportable."""
+    stmt_re = _STMT_RE
 
-
-def extract_statements(src: DataFrame, min_score: float = 0.5) -> DataFrame:
-    """mapInPandas batch extraction: (repo,path,commit,lang,content) →
-    statement rows.  Batches stay in Arrow; regex runs vectorized."""
+    def _link_score(ent: pd.Series) -> pd.Series:
+        # canonical surface form scores 1.0, alias forms 0.9
+        return pd.Series(1.0, index=ent.index).where(~ent.str.contains("_a"), 0.9)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            m = pdf["content"].str.extractall(_STMT_RE)
+            m = pdf["content"].str.extractall(stmt_re)
             if m.empty:
                 continue
             m = m.reset_index(level=1, drop=True)
@@ -70,7 +75,13 @@ def extract_statements(src: DataFrame, min_score: float = 0.5) -> DataFrame:
             ).values
             yield out
 
-    stmts = src.mapInPandas(scan, STATEMENT_SCHEMA)
+    return scan
+
+
+def extract_statements(src: DataFrame, min_score: float = 0.5) -> DataFrame:
+    """mapInPandas batch extraction: (repo,path,commit,lang,content) →
+    statement rows.  Batches stay in Arrow; regex runs vectorized."""
+    stmts = src.mapInPandas(_make_statement_scan(), STATEMENT_SCHEMA)
     return stmts.filter(F.col("score") >= F.lit(min_score))
 
 

@@ -76,11 +76,18 @@ def partition_media(df: DataFrame, buckets: int = 64) -> DataFrame:
     return df.repartition(buckets, F.col("modality"), size_bucket)
 
 
-def _fake_decode(payload: bytes, modality: str, dim: int) -> np.ndarray:
-    """Deterministic stand-in for a real codec: hash-seeded vector."""
-    seed = int.from_bytes(hashlib.sha256(payload).digest()[:4], "big")
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal(dim).astype(np.float32)
+def _make_fake_decode():
+    def _fake_decode(payload: bytes, modality: str, dim: int) -> np.ndarray:
+        """Deterministic stand-in for a real codec: hash-seeded vector."""
+        seed = int.from_bytes(hashlib.sha256(payload).digest()[:4], "big")
+        rng = np.random.default_rng(seed)
+        return rng.standard_normal(dim).astype(np.float32)
+    return _fake_decode
+
+
+# factory-made (<locals> qualname) → cloudpickle serializes it BY VALUE
+# into the mapInPandas closure, so executors never import subont
+_fake_decode = _make_fake_decode()
 
 
 def extract_media_features(df: DataFrame, dim: int = 16, fake: bool = False) -> DataFrame:
@@ -88,6 +95,7 @@ def extract_media_features(df: DataFrame, dim: int = 16, fake: bool = False) -> 
 
     ``fake=False`` raises NotImplementedError from the executors — the
     real codec is not available in this environment (stub contract)."""
+    fake_decode = _fake_decode
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -96,7 +104,7 @@ def extract_media_features(df: DataFrame, dim: int = 16, fake: bool = False) -> 
                     "media decode requires codec libraries not present in this container"
                 )
             feats = [
-                _fake_decode(p, m, dim).tolist()
+                fake_decode(p, m, dim).tolist()
                 for p, m in zip(pdf["payload"], pdf["modality"])
             ]
             yield pd.DataFrame(

@@ -157,16 +157,24 @@ _P = [
 _INV = [0, 4, 3, 2, 1, 5, 6, 7, 8, 9]
 
 
-def _verhoeff_digit(s: str) -> int:
-    c = 0
-    for i, ch in enumerate(reversed(s)):
-        c = _D[c][_P[(i + 1) % 8][int(ch)]]
-    return _INV[c]
+def _make_verhoeff():
+    # factory-made (<locals> qualnames) → cloudpickle serializes the
+    # digit function and the UDF body BY VALUE, so executor workers
+    # never need the subont package on their PYTHONPATH
+    def _verhoeff_digit(s: str) -> int:
+        c = 0
+        for i, ch in enumerate(reversed(s)):
+            c = _D[c][_P[(i + 1) % 8][int(ch)]]
+        return _INV[c]
+
+    @F.pandas_udf(T.StringType())
+    def verhoeff_udf(nums: pd.Series) -> pd.Series:  # pragma: no cover (executor)
+        return nums.map(lambda s: s + str(_verhoeff_digit(s)))
+
+    return _verhoeff_digit, verhoeff_udf
 
 
-@F.pandas_udf(T.StringType())
-def verhoeff_udf(nums: pd.Series) -> pd.Series:  # pragma: no cover (executor)
-    return nums.map(lambda s: s + str(_verhoeff_digit(s)))
+_verhoeff_digit, verhoeff_udf = _make_verhoeff()
 
 
 def _global_row_number(df: DataFrame, order_cols: list[str], out_col: str = "rn") -> DataFrame:

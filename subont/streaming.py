@@ -53,53 +53,62 @@ SESSION_OUTPUT_DDL = (
 SESSION_STATE_DDL = "last_ts timestamp, start_ts timestamp, n long"
 
 
-def gap_split(ts, state, gap_seconds):
-    """Pure per-key sessionization kernel (vectorized pandas).
+def _make_gap_split():
+    # factory-made (<locals> qualname) → cloudpickle serializes the
+    # kernel BY VALUE into the applyInPandasWithState closure, so the
+    # streaming executors never need the subont package importable
+    def gap_split(ts, state, gap_seconds):
+        """Pure per-key sessionization kernel (vectorized pandas).
 
-    ts: unsorted pandas Series of event timestamps for ONE key;
-    state: (last_ts, start_ts, n) of the open session or (None, None, 0);
-    returns (closed, new_state) where closed = [(start, end, n), ...].
+        ts: unsorted pandas Series of event timestamps for ONE key;
+        state: (last_ts, start_ts, n) of the open session or (None, None, 0);
+        returns (closed, new_state) where closed = [(start, end, n), ...].
 
-    Late events at or before the open session's last_ts are absorbed
-    into the open session's count but never rewind it (sessions already
-    closed are immutable — the watermark-style policy)."""
-    import pandas as pd
+        Late events at or before the open session's last_ts are absorbed
+        into the open session's count but never rewind it (sessions already
+        closed are immutable — the watermark-style policy)."""
+        import pandas as pd
 
-    last_ts, start_ts, n = state
-    closed = []
-    ts = ts.sort_values(ignore_index=True)
-    if last_ts is not None:
-        late = ts <= pd.Timestamp(last_ts)
-        n += int(late.sum())
-        ts = ts[~late].reset_index(drop=True)
-    if len(ts):
-        gaps = ts.diff().dt.total_seconds()
-        new_sess = gaps > gap_seconds
+        last_ts, start_ts, n = state
+        closed = []
+        ts = ts.sort_values(ignore_index=True)
         if last_ts is not None:
-            new_sess.iloc[0] = (
-                ts.iloc[0] - pd.Timestamp(last_ts)
-            ).total_seconds() > gap_seconds
-        grp = new_sess.cumsum()
-        agg = (
-            pd.DataFrame({"ts": ts, "grp": grp})
-            .groupby("grp")["ts"]
-            .agg(["min", "max", "count"])
-            .reset_index(drop=True)
-        )
-        starts = list(agg["min"])
-        ends = list(agg["max"])
-        counts = [int(c) for c in agg["count"]]
-        if bool(new_sess.iloc[0]):  # False when last_ts is None (NaN gap)
-            # gap right at the batch boundary: the open session closes
-            # with no new events, group 0 starts a fresh session
-            closed.append((start_ts, last_ts, n))
-            start_ts, n = None, 0
-        if start_ts is not None:  # group 0 continues the open session
-            starts[0] = start_ts
-        counts[0] += n
-        closed.extend((starts[i], ends[i], counts[i]) for i in range(len(starts) - 1))
-        start_ts, last_ts, n = starts[-1], ends[-1], counts[-1]
-    return closed, (last_ts, start_ts, n)
+            late = ts <= pd.Timestamp(last_ts)
+            n += int(late.sum())
+            ts = ts[~late].reset_index(drop=True)
+        if len(ts):
+            gaps = ts.diff().dt.total_seconds()
+            new_sess = gaps > gap_seconds
+            if last_ts is not None:
+                new_sess.iloc[0] = (
+                    ts.iloc[0] - pd.Timestamp(last_ts)
+                ).total_seconds() > gap_seconds
+            grp = new_sess.cumsum()
+            agg = (
+                pd.DataFrame({"ts": ts, "grp": grp})
+                .groupby("grp")["ts"]
+                .agg(["min", "max", "count"])
+                .reset_index(drop=True)
+            )
+            starts = list(agg["min"])
+            ends = list(agg["max"])
+            counts = [int(c) for c in agg["count"]]
+            if bool(new_sess.iloc[0]):  # False when last_ts is None (NaN gap)
+                # gap right at the batch boundary: the open session closes
+                # with no new events, group 0 starts a fresh session
+                closed.append((start_ts, last_ts, n))
+                start_ts, n = None, 0
+            if start_ts is not None:  # group 0 continues the open session
+                starts[0] = start_ts
+            counts[0] += n
+            closed.extend((starts[i], ends[i], counts[i]) for i in range(len(starts) - 1))
+            start_ts, last_ts, n = starts[-1], ends[-1], counts[-1]
+        return closed, (last_ts, start_ts, n)
+
+    return gap_split
+
+
+gap_split = _make_gap_split()
 
 
 def stream_sessionize(events_stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
