@@ -37,7 +37,15 @@ def main() -> int:
     # retries, occasional OOM).  On a real cluster this is per-executor
     # memory, sized by spark-submit; here the stress harness defaults
     # higher and stays overridable.
-    os.environ.setdefault("SUBONT_DRIVER_MEM", "24g")
+    os.environ.setdefault("SUBONT_DRIVER_MEM", "28g")
+    # JDK-8192647: allocation can spuriously OOM when JNI critical
+    # sections (Arrow / Netty) keep blocking the GC — observed as
+    # "Retried waiting for GCLocker too often" storms right before a
+    # heap-space OOM with plenty of heap free.  Raise the retry count.
+    os.environ.setdefault(
+        "SUBONT_DRIVER_JAVA_OPTS",
+        "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=128",
+    )
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=360_000)
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))

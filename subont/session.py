@@ -45,6 +45,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SUBONT_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM hosts every executor thread, so JVM
+        # tuning goes here (e.g. the GCLocker retry bump for JDK-8192647
+        # spurious OOMs under Arrow/Netty JNI critical sections — set by
+        # the stress harness); empty by default
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SUBONT_DRIVER_JAVA_OPTS", ""),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
