@@ -53,6 +53,15 @@ def main() -> int:
     ap.add_argument("--naive-check-n", type=int, default=2_000)
     ap.add_argument("--extract", action="store_true")
     ap.add_argument("--focus", type=int, default=500, help="focus concepts for --extract")
+    ap.add_argument(
+        "--rf2",
+        metavar="DIR",
+        default=None,
+        help="after --extract, materialize the RF2 relationship sinks "
+        "(P14 NNF→triples + P15 two-phase Verhoeff SCTID numbering + S8 "
+        "file writes) into DIR — the only pipeline stages never before "
+        "exercised at stress scale (VERDICT r4 item 2)",
+    )
     args = ap.parse_args()
 
     import pyspark.sql.functions as F
@@ -104,6 +113,30 @@ def main() -> int:
         out["sub_axioms"] = res.sub.axioms.count()
         out["nnf_rows"] = res.nnf_rows.count()
         out["extract_sec"] = round(time.time() - t2, 1)
+
+        if args.rf2:
+            from subont.rf2 import (
+                relationship_rf2_files,
+                triples_from_nnf,
+                write_rf2_named,
+            )
+
+            t3 = time.time()
+            triples = triples_from_nnf(res.nnf_rows, res.prop_defs, res.sub)
+            standard, concrete = relationship_rf2_files(triples)
+            p_std = write_rf2_named(
+                standard, args.rf2, "sct2_Relationship_Snapshot_INT_00000000.txt"
+            )
+            p_cv = write_rf2_named(
+                concrete,
+                args.rf2,
+                "sct2_RelationshipConcreteValues_Snapshot_INT_00000000.txt",
+            )
+            out["rf2_sec"] = round(time.time() - t3, 1)
+            with open(p_std) as f:
+                out["rf2_standard_rows"] = sum(1 for _ in f) - 1
+            with open(p_cv) as f:
+                out["rf2_concrete_rows"] = sum(1 for _ in f) - 1
 
     print(json.dumps(out))
     return 0

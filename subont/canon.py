@@ -17,6 +17,8 @@ PV reification ids, never an insertion counter).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -25,11 +27,71 @@ def _chk(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+# Size gate for the in-process union-find fast path — the CC analogue of
+# Spark's small-side broadcast threshold.  2M edges ≈ 32 MB collected;
+# the LIMIT short-circuits the scan, so an over-cap input pays one
+# truncated collect and falls through to star contraction (the 100 TB
+# path, unchanged).  Equivalence gated in tests/test_kg.py.
+_LOCAL_CC_MAX_EDGES = int(os.environ.get("SUBONT_LOCAL_CC_MAX_EDGES", "2000000"))
+
+
+def _local_cc(spark, pdf) -> DataFrame:
+    """Union-find (rank + path halving) over a collected edge list →
+    sorted (id, component=min member) DataFrame, exact twin of the
+    star-contraction output."""
+    import numpy as np
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+
+    a_col, b_col = pdf.iloc[:, 0].tolist(), pdf.iloc[:, 1].tolist()
+    for a, b in zip(a_col, b_col):
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        m = comp_min.get(r)
+        if m is None or n < m:
+            comp_min[r] = n
+    rows = [(n, comp_min[find(n)]) for n in parent]
+    rows = [(n, c) for n, c in rows if n != c]
+    rows.sort()
+    if not rows:
+        return spark.createDataFrame([], "id bigint, component bigint")
+    arr = np.array(rows, dtype=np.int64)
+    return spark.createDataFrame(
+        pd.DataFrame({"id": arr[:, 0], "component": arr[:, 1]}),
+        schema="id bigint, component bigint",
+    )
+
+
 def connected_components(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
     """(a, b) undirected edges over long ids → (id, component) with
     component = min id in the component.
 
-    Alternating star contraction; converges in O(log n) rounds."""
+    Alternating star contraction; converges in O(log n) rounds.  Below
+    ``_LOCAL_CC_MAX_EDGES`` the component graph fits on the driver and a
+    union-find computes the exact same map in one collect + one
+    createDataFrame — at bench scale the star contraction's per-round
+    checkpoint/aggregate barriers are the wall clock, precisely like a
+    shuffle join on a broadcast-sized input."""
+    if os.environ.get("SUBONT_LOCAL_CC", "auto") != "off":
+        pdf = edges.select("a", "b").limit(_LOCAL_CC_MAX_EDGES + 1).toPandas()
+        if len(pdf) <= _LOCAL_CC_MAX_EDGES:
+            return _local_cc(edges.sparkSession, pdf)
     # symmetrize
     e = edges.select(F.col("a"), F.col("b")).unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))

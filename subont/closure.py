@@ -35,6 +35,7 @@ re-classifies from scratch) only closes the delta.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -55,16 +56,232 @@ DELTA_FIRST_MIN_CLOSURE = 2_000_000
 DELTA_FIRST_RATIO = 20
 
 
-def _anti_pairs(cand: DataFrame, closure: DataFrame) -> DataFrame:
+# explicit-broadcast safety valve for _anti_pairs: above this many
+# distinct cand keys the broadcast (which bypasses
+# autoBroadcastJoinThreshold) would itself be the driver/executor
+# memory hazard, and the plain shuffled anti-join is the right plan.
+# 8M longs ≈ 64 MB broadcast — comfortably inside executor memory at
+# any realistic sizing, far above every measured frontier (the 360k
+# stress peaks at ~1.5M keys in round 1).
+_ANTI_BROADCAST_MAX_KEYS = int(os.environ.get("SUBONT_ANTI_BROADCAST_MAX_KEYS", "8000000"))
+
+
+def _anti_pairs(
+    cand: DataFrame,
+    closure: DataFrame,
+    n_cand: int | None = None,
+    gate: bool = False,
+) -> DataFrame:
     """cand \\ closure on (desc, anc), shaped for a SMALL cand against a
     huge closure: restrict the closure to cand's desc set with a
     broadcast semi-join FIRST (a scan of the cached closure, no closure
     shuffle), then anti-join small × small.  A plain left_anti against
     the full closure sort-merge-shuffles the whole closure every call —
-    at the 360k stress that is a ~63M-row shuffle per fixpoint round."""
+    at the 360k stress that is a ~63M-row shuffle per fixpoint round.
+
+    The explicit broadcast is size-gated (DELTA_FIRST threshold
+    pattern): ``n_cand`` is a caller-known upper bound on cand's
+    distinct desc keys (usually last round's delta count — free);
+    ``gate=True`` pays one checkpoint+count job on the key set when no
+    bound is known AND the closure is big enough for the fallback to
+    matter.  Either way, above ``_ANTI_BROADCAST_MAX_KEYS`` the plain
+    shuffled anti-join is used instead of an unbounded broadcast."""
     keys = cand.select(F.col("desc").alias("__k")).distinct()
+    n_keys = n_cand
+    if n_keys is None and gate:
+        keys, n_keys = _chk_n(keys)
+    if n_keys is not None and n_keys > _ANTI_BROADCAST_MAX_KEYS:
+        return cand.join(closure, ["desc", "anc"], "left_anti")
     restricted = closure.join(F.broadcast(keys), closure["desc"] == F.col("__k"), "left_semi")
     return cand.join(restricted, ["desc", "anc"], "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Local fast path for transitive_closure — the "broadcast join" of closures.
+#
+# A distributed fixpoint pays one driver barrier + shuffle per depth level;
+# at fixture/bench scale (tens of thousands of edges) those ~6-40 scheduler
+# round-trips ARE the wall clock, while the closure itself fits in a few MB.
+# Exactly like Spark's own small-side broadcast threshold, a size-gated
+# driver-side computation is the right physical strategy for small inputs:
+# collect the (bounded) edge set, close it in-process, and ship the result
+# back as a single LocalRelation-backed DataFrame — one job in, one
+# createDataFrame out, zero per-round barriers.  The distributed semi-naive
+# path above the gate is byte-for-byte unchanged and remains the 100 TB /
+# 360k-stress path (573k stated edges > the 200k gate; 63M-pair closures
+# > the pairs cap).  Equivalence of the two paths is gated in
+# tests/test_closure.py (randomized DAGs + cycles, both directions forced
+# via SUBONT_LOCAL_TC).
+#
+# Incremental reuse: the returned DataFrame carries the node→ancestors map
+# (``_subont_local_anc``); a seeded call whose seed carries the map stays
+# local, so classify's per-round incremental closures at fixture scale run
+# entirely without shuffles.  A seed WITHOUT the map (i.e. one computed by
+# the distributed path) keeps the whole call distributed — no collect of an
+# unbounded closure ever happens.
+# ---------------------------------------------------------------------------
+
+_LOCAL_TC_MAX_EDGES = int(os.environ.get("SUBONT_LOCAL_TC_MAX_EDGES", "200000"))
+_LOCAL_TC_MAX_PAIRS = int(os.environ.get("SUBONT_LOCAL_TC_MAX_PAIRS", "3000000"))
+
+
+def _local_close(parents: dict, max_pairs: int) -> dict | None:
+    """node → set(strict ancestors) for ``parents``: node → set(parent).
+
+    Kahn topological pass (each node's set built once from finalized
+    parent sets — total work = |closure| insertions); on a cycle, falls
+    back to an in-process semi-naive pair loop (cycles only occur in the
+    V1 rename-union oracle's tiny constructions).  Returns None if the
+    closure exceeds ``max_pairs`` (caller falls back to distributed)."""
+    children: dict = {}
+    dep: dict = {}
+    for c, ps in parents.items():
+        dep[c] = len(ps)
+        for p in ps:
+            children.setdefault(p, []).append(c)
+    from collections import deque
+
+    q = deque(n for n in children if not parents.get(n))
+    anc: dict = {}
+    resolved = 0  # nodes WITH parents whose parent sets finalized
+    total = 0
+    while q:
+        n = q.popleft()
+        ps = parents.get(n)
+        if ps:
+            s = set(ps)
+            for p in ps:
+                a = anc.get(p)
+                if a:
+                    s |= a
+            anc[n] = s
+            total += len(s)
+            if total > max_pairs:
+                return None
+        for ch in children.get(n, ()):
+            dep[ch] -= 1
+            if dep[ch] == 0:
+                q.append(ch)
+                resolved += 1
+    if resolved < len(dep):
+        return _local_close_seminaive(parents, max_pairs)
+    return anc
+
+
+def _local_close_seminaive(parents: dict, max_pairs: int) -> dict | None:
+    """Cycle-tolerant twin: the same semi-naive frontier loop as the
+    distributed path, over in-process pair sets.  Reflexive pairs are
+    kept internally (they propagate through cycles) and stripped at the
+    end, matching the distributed path's final strict filter."""
+    closure = {(c, p) for c, ps in parents.items() for p in ps}
+    delta = set(closure)
+    while delta:
+        new = set()
+        for d, m in delta:
+            for a in parents.get(m, ()):
+                pr = (d, a)
+                if pr not in closure:
+                    new.add(pr)
+        if not new:
+            break
+        closure |= new
+        if len(closure) > max_pairs:
+            return None
+        delta = new
+    anc: dict = {}
+    for d, a in closure:
+        if d != a:
+            anc.setdefault(d, set()).add(a)
+    return anc
+
+
+def _local_anc_to_df(edges_df: DataFrame, anc: dict, name_a: str, name_b: str) -> DataFrame:
+    """One sorted LocalRelation-backed DataFrame from an ancestor map —
+    sorted so fixture outputs stay deterministic run-over-run (the repo's
+    byte-identical-builds invariant); int64 ids go through numpy lexsort
+    + Arrow, everything else through a plain python sort."""
+    spark = edges_df.sparkSession
+    import pandas as pd
+
+    t_child = edges_df.schema[0].dataType.simpleString()
+    t_parent = edges_df.schema[1].dataType.simpleString()
+    schema = f"{name_a} {t_child}, {name_b} {t_parent}"
+    n = sum(len(s) for s in anc.values())
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    if t_child == "bigint" and t_parent == "bigint":
+        import numpy as np
+
+        d = np.empty(n, np.int64)
+        a = np.empty(n, np.int64)
+        i = 0
+        for k, s in anc.items():
+            m = len(s)
+            d[i : i + m] = k
+            a[i : i + m] = np.fromiter(s, np.int64, m)
+            i += m
+        o = np.lexsort((a, d))
+        pdf = pd.DataFrame({name_a: d[o], name_b: a[o]})
+    else:
+        pairs = sorted((k, v) for k, s in anc.items() for v in s)
+        pdf = pd.DataFrame(pairs, columns=[name_a, name_b])
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+def _maybe_local_tc(
+    edges: DataFrame,
+    seed_closure: DataFrame | None,
+    return_delta: bool,
+    big: bool,
+) -> DataFrame | tuple[DataFrame, DataFrame] | None:
+    mode = os.environ.get("SUBONT_LOCAL_TC", "auto")
+    if mode == "off" or big:
+        return None
+    seed_anc = (
+        getattr(seed_closure, "_subont_local_anc", None) if seed_closure is not None else None
+    )
+    if seed_closure is not None and seed_anc is None:
+        return None  # seed came from the distributed path: stay distributed
+    # Arrow-batched collect of the (bounded) edge set; duplicates are
+    # deduped in-process by the parent sets, so the caller's plan need
+    # not pay a distinct shuffle first
+    pdf0 = edges.limit(_LOCAL_TC_MAX_EDGES + 1).toPandas()
+    if len(pdf0) > _LOCAL_TC_MAX_EDGES:
+        return None
+    col_c, col_p = pdf0.iloc[:, 0].tolist(), pdf0.iloc[:, 1].tolist()
+    parents: dict = {}
+    for c, p in zip(col_c, col_p):
+        if c != p:
+            parents.setdefault(c, set()).add(p)
+    if seed_anc:
+        for d, s in seed_anc.items():
+            tgt = parents.get(d)
+            if tgt is None:
+                parents[d] = set(s)
+            else:
+                tgt |= s
+    anc = _local_close(parents, _LOCAL_TC_MAX_PAIRS)
+    if anc is None:
+        return None
+    out = _local_anc_to_df(edges, anc, "desc", "anc")
+    out._subont_local_anc = anc
+    if not return_delta:
+        return out
+    if seed_anc:
+        delta_map: dict = {}
+        for d, s in anc.items():
+            old = seed_anc.get(d)
+            new = s - old if old else s
+            if new:
+                delta_map[d] = new
+        # match the distributed superset convention: the new edges are
+        # always part of the returned delta
+        for c, p in zip(col_c, col_p):
+            if c != p:
+                delta_map.setdefault(c, set()).add(p)
+    else:
+        delta_map = anc
+    return out, _local_anc_to_df(edges, delta_map, "desc", "anc")
 
 
 def transitive_closure(
@@ -72,6 +289,7 @@ def transitive_closure(
     seed_closure: DataFrame | None = None,
     max_rounds: int = 64,
     return_delta: bool = False,
+    big: bool = False,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Strict transitive closure of (child, parent) → (desc, anc).
 
@@ -85,7 +303,14 @@ def transitive_closure(
     true delta is fine for its consumer, the semi-naive rule evaluation
     in classify, which only uses it to bound candidate generation).
     """
-    edges = edges.select(F.col("child").alias("desc"), F.col("parent").alias("anc")).distinct()
+    edges = edges.select(F.col("child").alias("desc"), F.col("parent").alias("anc"))
+    # local probe runs on the UN-deduped select (dedup happens in the
+    # in-process parent sets) so the small-input path never pays the
+    # distinct shuffle; the distributed path dedups as before
+    local = _maybe_local_tc(edges, seed_closure, return_delta, big)
+    if local is not None:
+        return local
+    edges = edges.distinct()
     if seed_closure is not None:
         base = seed_closure.select("desc", "anc").unionByName(edges).distinct()
     else:
@@ -119,7 +344,7 @@ def transitive_closure(
             .select(F.col("s_desc").alias("desc"), F.col("e_anc").alias("anc"))
         )
         new0 = _chk(
-            _anti_pairs(left_ext.distinct(), closure)
+            _anti_pairs(left_ext.distinct(), closure, gate=big)
         )
         closure = closure.unionByName(new0)
         delta = new0.unionByName(edges).distinct()
@@ -132,6 +357,7 @@ def transitive_closure(
     # checkpointed deltas, so nothing re-materializes the full closure
     # each round (round-1 profile: the per-round closure re-checkpoint
     # was ~half the fixpoint's serial cost).
+    n_prev: int | None = None  # last delta count — bounds ext's desc keys
     for _ in range(max_rounds):
         ext = (
             delta.select(F.col("desc").alias("d_desc"), F.col("anc").alias("d_anc"))
@@ -140,11 +366,14 @@ def transitive_closure(
             .distinct()
         )
         if seed_closure is not None:
-            # seeded frontiers are small — keep the closure un-shuffled
-            delta = _anti_pairs(ext, closure)
+            # seeded frontiers are small — keep the closure un-shuffled.
+            # ext's distinct descs ⊆ delta's descs, so last round's
+            # delta count is a free upper bound for the broadcast gate.
+            delta = _anti_pairs(ext, closure, n_cand=n_prev, gate=big and n_prev is None)
         else:
             delta = ext.join(closure, ["desc", "anc"], "left_anti")
         delta, n = _chk_n(delta)
+        n_prev = n
         if n == 0:
             break
         closure = closure.unionByName(delta)
@@ -641,6 +870,12 @@ def classify(
     n_closure_est = (
         closure.count() if (have_chains and not naive) else 0
     )
+    # closure growth is tracked UNCONDITIONALLY via each round's n_new
+    # (already counted for free by _chk_n), so a classification whose
+    # initial TC is below DELTA_FIRST_MIN_CLOSURE but grows past it
+    # mid-fixpoint still engages the delta-first tail path; when the
+    # exact TC delta is sampled it replaces the provisional n_new bound.
+    _last_n_new = 0
     import time as _time
 
     _t_round = _time.time()
@@ -729,7 +964,9 @@ def classify(
                     else None
                 )
                 if n_delta is not None:
-                    n_closure_est += n_delta  # closure only grows
+                    # upgrade last round's provisional n_new growth (a
+                    # lower bound: new edges only) to the exact TC delta
+                    n_closure_est += n_delta - _last_n_new
                 if n_delta is not None and n_delta <= n_closure_est // DELTA_FIRST_RATIO:
                     # tail round at scale: every intermediate Δ-bounded
                     new_edges_parts.append(_chain_rule_delta(closure, rule_delta))
@@ -754,8 +991,11 @@ def classify(
             .select(F.col("child").alias("desc"), F.col("parent").alias("anc"))
             .distinct(),
             closure,
+            gate=n_closure_est >= DELTA_FIRST_MIN_CLOSURE,
         ).select(F.col("desc").alias("child"), F.col("anc").alias("parent"))
         new_edges, n_new = _chk_n(new_edges)
+        n_closure_est += n_new  # provisional growth (closure only grows)
+        _last_n_new = n_new
         if progress:
             print(
                 f"classify round {_round + 1}: {n_new} new edges "
@@ -767,7 +1007,10 @@ def classify(
         gen_parts.append(new_edges.select("child", "parent"))
         prev_closure = closure
         closure, rule_delta = transitive_closure(
-            new_edges.select("child", "parent"), seed_closure=closure, return_delta=True
+            new_edges.select("child", "parent"),
+            seed_closure=closure,
+            return_delta=True,
+            big=n_closure_est >= DELTA_FIRST_MIN_CLOSURE,
         )
     else:
         raise RuntimeError("classify: rule fixpoint did not converge")

@@ -106,11 +106,11 @@ def _closest_prim_map(cl: Classified) -> DataFrame:
     return cp
 
 
-def closest_primitive_ancestors(
-    start: DataFrame, cl: Classified, max_depth: int = 64
-) -> DataFrame:
+def closest_primitive_ancestors(start: DataFrame, cl: Classified) -> DataFrame:
     """D4: closest primitive ancestors per (gid, node), skipping named
     PVs (DefinitionGeneratorAbstract.java:158-183).  Returns (gid, prim).
+    (The BFS twin below keeps a ``max_depth`` bound; the map form closes
+    the whole non-primitive subgraph once, so no depth knob exists here.)
 
     One join against the cached per-classification map — the expansion
     loop calls this every round; the map is computed once per ``cl``."""

@@ -15,6 +15,7 @@ Arrow-vectorized mapInPandas pass (mention detection) or JVM-side
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -107,6 +108,11 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 
 
 def _doc_tokens(docs: DataFrame) -> DataFrame:
+    # NOTE: no repartition here — a measured A/B (BENCH.md round 5)
+    # showed widening the narrow bench scan costs more in shuffle than
+    # the single-split map work saves; at production scale the scan is
+    # already wide.  The quadratic hazard lives in the LSH bucket join
+    # below, which is salted instead.
     return docs.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
     )
@@ -164,10 +170,30 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_SEEDS, bands: int = 2) -
     banded = parts[0]
     for p in parts[1:]:
         banded = banded.unionByName(p)
-    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
-    b2 = banded.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
+    # SALTED bucket self-join.  A hot bucket (thousands of near-identical
+    # docs sharing one band key — common in crawl data) explodes
+    # quadratically inside a single shuffle partition: partitioning on
+    # (band, bkey) alone cannot split it, and AQE's skew splitter only
+    # balances input bytes, not join OUTPUT.  Classic triangle salting:
+    # each doc gets a slice s = hash(doc_id) mod S; the left side is
+    # replicated once per target slice and the join key gains the
+    # right side's slice, so one bucket's pair explosion spreads over S
+    # partitions.  Output is identical (every (x, y) pair still meets
+    # exactly once, at slice(y)).  Explicit numPartitions keeps AQE from
+    # re-coalescing the small pre-explosion inputs into one task.
+    S = int(os.environ.get("SUBONT_LSH_SALT", "16"))
+    n_out = banded.sparkSession.sparkContext.defaultParallelism
+    slice_of = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(S)).cast("int")
+    a = (
+        banded.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
+        .withColumn("sb", F.explode(F.array(*[F.lit(i) for i in range(S)])))
+        .repartition(n_out, "band", "bkey", "sb")
+    )
+    b2 = banded.select(
+        F.col("doc_id").alias("doc_b"), "band", "bkey", slice_of.alias("sb")
+    ).repartition(n_out, "band", "bkey", "sb")
     return (
-        a.join(b2, ["band", "bkey"])
+        a.join(b2, ["band", "bkey", "sb"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()

@@ -49,6 +49,10 @@ def _durable_dir() -> str | None:
 # BigInteger work stays in the trivial schoolbook range.
 _STATS_BITLEN_CAP = 256
 
+# one-time fuse: if the private-API rewrap ever fails (Spark internals
+# moved), warn once and stop attempting it for the rest of the session
+_strip_stats_broken = False
+
 
 def _strip_stats(df: DataFrame) -> DataFrame:
     """Rewrap a checkpointed DataFrame's RDD in a fresh LogicalRDD with
@@ -81,7 +85,16 @@ def chk(df: DataFrame) -> DataFrame:
         sc = df.sparkSession.sparkContext
         if sc.getCheckpointDir() is None:
             sc.setCheckpointDir(d)
-        out = df.checkpoint(eager=False)
+        # EAGER + persist in durable mode: a reliable checkpoint without
+        # a persisted plan recomputes the whole delta a second time for
+        # the checkpoint-write job (the standard RDD.checkpoint caveat)
+        # — on exactly the multi-hour runs this mode targets, that is a
+        # 2x per-round cost.  persist → eager checkpoint (the write job
+        # reads the cached blocks) → unpersist keeps each round computed
+        # once; the extra action per round is noise at durable scale.
+        persisted = df.persist()
+        out = persisted.checkpoint(eager=True)
+        persisted.unpersist()
     else:
         out = df.localCheckpoint(eager=False)
     # adaptive compounding cap: the carried estimate is memoized on the
@@ -94,7 +107,26 @@ def chk(df: DataFrame) -> DataFrame:
     except Exception:
         bits = 0
     if bits > _STATS_BITLEN_CAP:
-        return _strip_stats(out)
+        # _strip_stats reaches through private Spark internals
+        # (queryExecution().toRdd() / internalCreateDataFrame); a Spark
+        # minor-version change in either API must degrade to the
+        # unstripped checkpoint (slower planning under compounding, but
+        # correct) — never crash the fixpoint loop it sits under.
+        global _strip_stats_broken
+        if not _strip_stats_broken:
+            try:
+                return _strip_stats(out)
+            except Exception as e:  # pragma: no cover - exercised via monkeypatch test
+                _strip_stats_broken = True
+                import warnings
+
+                warnings.warn(
+                    "subont: stats-strip rewrap failed (%r); continuing with "
+                    "unstripped checkpoints — driver planning may slow down "
+                    "under size-estimate compounding" % (e,),
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     return out
 
 

@@ -290,3 +290,90 @@ def test_seeded_classify_direct_witness(spark):
     scratch = classify(ont2)
     assert cl2.closure.exceptAll(scratch.closure).isEmpty()
     assert scratch.closure.exceptAll(cl2.closure).isEmpty()
+
+
+# ---------------------------------------------------------------------------
+# Local TC fast path (size-gated driver-side closure) — equivalence gates
+# ---------------------------------------------------------------------------
+
+
+def _tc_both_paths(spark, monkeypatch, edge_rows, seed_rows=None):
+    """Run transitive_closure with the local path forced OFF and ON
+    (auto engages at this size) and return both pair sets."""
+    edges = spark.createDataFrame(edge_rows, "child long, parent long")
+    seed = None
+    if seed_rows is not None:
+        seed = spark.createDataFrame(seed_rows, "desc long, anc long")
+    monkeypatch.setenv("SUBONT_LOCAL_TC", "off")
+    dist = _pairs(transitive_closure(edges, seed_closure=seed))
+    monkeypatch.setenv("SUBONT_LOCAL_TC", "auto")
+    loc_df = transitive_closure(edges, seed_closure=seed)
+    if seed is None:
+        # unseeded small input must actually take the local path
+        assert getattr(loc_df, "_subont_local_anc", None) is not None
+    return dist, _pairs(loc_df)
+
+
+def test_local_tc_equals_distributed_randomized(spark, monkeypatch):
+    import random
+
+    for seed in (3, 17, 29, 71):
+        rng = random.Random(seed)
+        n = 40
+        rows = [(c, rng.randrange(c + 1, n + 2)) for c in range(1, n + 1) for _ in range(rng.randrange(1, 3))]
+        dist, loc = _tc_both_paths(spark, monkeypatch, rows)
+        assert dist == loc, seed
+
+
+def test_local_tc_cycle_equals_distributed(spark, monkeypatch):
+    # cycle 1<->2 plus tail — exercises the in-process semi-naive fallback
+    rows = [(1, 2), (2, 1), (2, 3), (3, 4), (5, 1)]
+    dist, loc = _tc_both_paths(spark, monkeypatch, rows)
+    assert dist == loc
+    assert (1, 2) in loc and (2, 1) in loc and (1, 3) in loc and (5, 4) in loc
+    assert (1, 1) not in loc and (2, 2) not in loc  # strict
+
+
+def test_local_tc_seeded_handoff_and_delta(spark, monkeypatch):
+    """local → local seeded extension stays local and exact; the delta
+    is a superset of the truly-new pairs and includes the new edges; a
+    DISTRIBUTED seed (no attached map) keeps the call distributed."""
+    monkeypatch.setenv("SUBONT_LOCAL_TC", "auto")
+    e1 = spark.createDataFrame([(1, 2), (2, 3)], "child long, parent long")
+    clo1 = transitive_closure(e1)
+    assert getattr(clo1, "_subont_local_anc", None)
+    e2 = spark.createDataFrame([(3, 4)], "child long, parent long")
+    clo2, delta = transitive_closure(e2, seed_closure=clo1, return_delta=True)
+    assert getattr(clo2, "_subont_local_anc", None)
+    want = {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (3, 4)}
+    assert _pairs(clo2) == want
+    dpairs = _pairs(delta)
+    assert {(1, 4), (2, 4), (3, 4)} <= dpairs <= want
+    # distributed seed (no map) → distributed result
+    monkeypatch.setenv("SUBONT_LOCAL_TC", "off")
+    clo1d = transitive_closure(e1)
+    monkeypatch.setenv("SUBONT_LOCAL_TC", "auto")
+    clo2d = transitive_closure(e2, seed_closure=clo1d)
+    assert getattr(clo2d, "_subont_local_anc", None) is None
+    assert _pairs(clo2d) == want
+
+
+def test_local_tc_pairs_cap_falls_back(spark, monkeypatch):
+    import subont.closure as C
+
+    monkeypatch.setattr(C, "_LOCAL_TC_MAX_PAIRS", 3)
+    edges = spark.createDataFrame([(i, i + 1) for i in range(1, 8)], "child long, parent long")
+    clo = transitive_closure(edges)
+    assert getattr(clo, "_subont_local_anc", None) is None  # fell back
+    assert len(_pairs(clo)) == 7 * 8 // 2
+
+
+def test_classify_local_equals_distributed(spark, monkeypatch):
+    from subont import fixtures
+
+    ont = fixtures.dummy_ontology(spark)
+    monkeypatch.setenv("SUBONT_LOCAL_TC", "off")
+    off = _pairs(classify(ont).closure)
+    monkeypatch.setenv("SUBONT_LOCAL_TC", "auto")
+    on = _pairs(classify(ont).closure)
+    assert off == on

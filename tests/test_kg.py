@@ -163,3 +163,21 @@ def test_canonical_cross_root_same_edges(spark):
     assert cmap["C2"] == "C2"
     assert cmap["C2_a1"] == "C2"
     assert cmap["C9"] == "C9"
+
+
+def test_connected_components_local_equals_distributed(spark, monkeypatch):
+    """The union-find fast path must produce the exact star-contraction
+    map on randomized graphs (including hubs, chains and singletons)."""
+    import random
+
+    from subont.canon import connected_components
+
+    for seed in (5, 19, 43):
+        rng = random.Random(seed)
+        rows = [(rng.randrange(60), rng.randrange(60)) for _ in range(120)]
+        edges = spark.createDataFrame(rows, "a long, b long")
+        monkeypatch.setenv("SUBONT_LOCAL_CC", "off")
+        dist = {(r.id, r.component) for r in connected_components(edges).collect()}
+        monkeypatch.setenv("SUBONT_LOCAL_CC", "auto")
+        loc = {(r.id, r.component) for r in connected_components(edges).collect()}
+        assert dist == loc, seed

@@ -56,6 +56,10 @@ def test_durable_checkpoint_survives_block_loss(spark, tmp_path, monkeypatch):
 
     chk_dir = str(tmp_path / "chk")
     monkeypatch.setenv("SUBONT_CHECKPOINT_DIR", chk_dir)
+    # this test exercises the DISTRIBUTED durable seam; the local TC
+    # fast path (which would trivially survive block loss driver-side)
+    # must not absorb the tiny fixture
+    monkeypatch.setenv("SUBONT_LOCAL_TC", "off")
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "child long, parent long"
     )
