@@ -389,6 +389,41 @@ def transitive_closure(
     return out
 
 
+def _local_direct(closure_df: DataFrame, anc: dict, edges_df: DataFrame | None):
+    """In-process witness-form direct-edge derivation for a closure that
+    carries the local ancestor map.  Work-capped: returns None (caller
+    falls back to the distributed plan) when the witness sweep would
+    exceed ~20M in-process marks."""
+    if edges_df is not None:
+        pdf = edges_df.limit(_LOCAL_TC_MAX_EDGES + 1).toPandas()
+        if len(pdf) > _LOCAL_TC_MAX_EDGES:
+            return None
+        elist = list(zip(pdf.iloc[:, 0].tolist(), pdf.iloc[:, 1].tolist()))
+    else:
+        elist = [(d, a) for d, s in anc.items() for a in s]
+    desc: dict = {}
+    for d, s in anc.items():
+        for a in s:
+            desc.setdefault(a, []).append(d)
+    nond: set = set()
+    work = 0
+    for m, p in elist:
+        ds = desc.get(m)
+        if not ds:
+            continue
+        work += len(ds)
+        if work > 20_000_000:
+            return None
+        for d in ds:
+            nond.add((d, p))
+    out_map: dict = {}
+    for d, s in anc.items():
+        keep = {a for a in s if (d, a) not in nond}
+        if keep:
+            out_map[d] = keep
+    return _local_anc_to_df(closure_df, out_map, "child", "parent")
+
+
 def derive_direct_edges(closure: DataFrame, edges: DataFrame | None = None) -> DataFrame:
     """Direct ('told+inferred nearest') edges from a strict closure.
 
@@ -400,6 +435,11 @@ def derive_direct_edges(closure: DataFrame, edges: DataFrame | None = None) -> D
     last-hop edge witness) — linear in |edges| instead of the
     closure ⋈ closure square, and far lighter on hub-ancestor skew.
     """
+    anc_map = getattr(closure, "_subont_local_anc", None)
+    if anc_map is not None and os.environ.get("SUBONT_LOCAL_TC", "auto") != "off":
+        out = _local_direct(closure, anc_map, edges)
+        if out is not None:
+            return out
     if edges is not None:
         b = edges.select(F.col("child").alias("b_desc"), F.col("parent").alias("b_anc"))
     else:
@@ -1026,7 +1066,13 @@ def classify(
         if not cyc.isEmpty():
             raise ValueError("equivalent-class cycle detected; unsupported (reference assumes none)")
 
+    _local_anc = getattr(closure, "_subont_local_anc", None)
     closure = closure.localCheckpoint(eager=False)
+    if _local_anc is not None:
+        # the checkpoint rewraps the same rows; keep the local ancestor
+        # map rideable so downstream consumers (reduce kernels, D4 map,
+        # incremental re-classify) stay on their local fast paths
+        closure._subont_local_anc = _local_anc
     gen_edges = gen_parts[0]
     for p in gen_parts[1:]:
         gen_edges = gen_edges.unionByName(p)

@@ -25,8 +25,58 @@ reference's assumption of no equivalent classes (:142 comment).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Local kernel gate: when the closure was computed by the local TC fast
+# path (it carries the node→ancestors map), the weak/strong member set
+# is computed in-process from one bounded collect of cand's (set, cls)
+# projection and anti-joined back as a BROADCAST — no member-pair
+# self-join, no closure shuffle.  Above the cap (or with a distributed
+# closure) the pairs-first plan below runs unchanged — it is the
+# 100 TB / 360k-stress path.
+_LOCAL_REDUCE_MAX_ROWS = int(os.environ.get("SUBONT_LOCAL_REDUCE_MAX_ROWS", "300000"))
+
+
+def _local_marked(
+    cand: DataFrame, closure: DataFrame, set_col: str, cls_col: str, weak: bool
+):
+    """(marked-members DataFrame, ok) — marked = weak (has a strict
+    descendant in the set) or strong (has a strict ancestor in the set).
+    ok=False → caller must use the distributed plan."""
+    anc = getattr(closure, "_subont_local_anc", None)
+    if anc is None or os.environ.get("SUBONT_LOCAL_REDUCE", "auto") == "off":
+        return None, False
+    proj = cand.select(set_col, cls_col)
+    pdf = proj.limit(_LOCAL_REDUCE_MAX_ROWS + 1).toPandas()
+    if len(pdf) > _LOCAL_REDUCE_MAX_ROWS:
+        return None, False
+    by_set: dict = {}
+    for s, c in zip(pdf.iloc[:, 0].tolist(), pdf.iloc[:, 1].tolist()):
+        by_set.setdefault(s, set()).add(c)
+    marked = set()
+    for s, members in by_set.items():
+        for o in members:
+            ups = anc.get(o)
+            if not ups:
+                continue
+            hit = ups & members
+            if weak:
+                # every member above o is redundant (o is more specific)
+                for a in hit:
+                    if a != o:
+                        marked.add((s, a))
+            else:
+                # o has a strict ancestor in the set → o is "stronger"
+                if hit - {o}:
+                    marked.add((s, o))
+    spark = cand.sparkSession
+    schema = proj.schema
+    rows = sorted(marked)
+    mdf = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+    return mdf, True
 
 
 def _member_pairs(cand: DataFrame, set_col: str, cls_col: str) -> DataFrame:
@@ -44,6 +94,9 @@ def eliminate_weaker(cand: DataFrame, closure: DataFrame, set_col: str = "set_id
     cand: (set_col, cls_col) — candidate sets exploded to rows.
     closure: strict (desc, anc).
     """
+    mdf, ok = _local_marked(cand, closure, set_col, cls_col, weak=True)
+    if ok:
+        return cand.join(F.broadcast(mdf), [set_col, cls_col], "left_anti")
     pairs = _member_pairs(cand, set_col, cls_col)
     # cls is weak iff some same-set member is a strict descendant of it
     weak = (
@@ -61,6 +114,9 @@ def eliminate_weaker(cand: DataFrame, closure: DataFrame, set_col: str = "set_id
 def eliminate_stronger(cand: DataFrame, closure: DataFrame, set_col: str = "set_id", cls_col: str = "cls") -> DataFrame:
     """Dual (A6): keep most-general members per group
     (OntologyReasoningService.java:159-173)."""
+    mdf, ok = _local_marked(cand, closure, set_col, cls_col, weak=False)
+    if ok:
+        return cand.join(F.broadcast(mdf), [set_col, cls_col], "left_anti")
     pairs = _member_pairs(cand, set_col, cls_col)
     # cls is strong iff some same-set member is a strict ancestor of it
     strong = (

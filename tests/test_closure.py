@@ -377,3 +377,53 @@ def test_classify_local_equals_distributed(spark, monkeypatch):
     monkeypatch.setenv("SUBONT_LOCAL_TC", "auto")
     on = _pairs(classify(ont).closure)
     assert off == on
+
+
+def test_reduce_local_equals_distributed(spark, monkeypatch):
+    """eliminate_weaker/stronger local kernels (closure carrying the
+    local anc map) must equal the pairs-first distributed plan on
+    randomized grouped candidate sets."""
+    import random
+
+    for seed in (7, 31):
+        rng = random.Random(seed)
+        n = 30
+        erows = [(c, rng.randrange(c + 1, n + 2)) for c in range(1, n + 1)]
+        edges = spark.createDataFrame(erows, "child long, parent long")
+        cand = spark.createDataFrame(
+            [(rng.randrange(4), rng.randrange(1, n + 2)) for _ in range(40)],
+            "set_id long, cls long",
+        ).distinct()
+        monkeypatch.setenv("SUBONT_LOCAL_TC", "off")
+        clo_d = transitive_closure(edges)
+        monkeypatch.setenv("SUBONT_LOCAL_TC", "auto")
+        clo_l = transitive_closure(edges)
+        assert getattr(clo_l, "_subont_local_anc", None) is not None
+        for fn in (eliminate_weaker, eliminate_stronger):
+            dist = {(r.set_id, r.cls) for r in fn(cand, clo_d).collect()}
+            loc = {(r.set_id, r.cls) for r in fn(cand, clo_l).collect()}
+            assert dist == loc, (seed, fn.__name__)
+
+
+def test_direct_edges_local_equals_distributed(spark, monkeypatch):
+    """_local_direct (witness sweep over the local anc map) must equal
+    the distributed anti-join form, with and without the edge witness
+    set, on randomized DAGs with redundant shortcuts."""
+    import random
+
+    for seed in (13, 59):
+        rng = random.Random(seed)
+        n = 35
+        rows = [(c, rng.randrange(c + 1, n + 2)) for c in range(1, n + 1)]
+        rows += [(c, rng.randrange(c + 1, n + 2)) for c in range(1, n, 3)]  # shortcuts
+        edges = spark.createDataFrame(sorted(set(rows)), "child long, parent long")
+        monkeypatch.setenv("SUBONT_LOCAL_TC", "off")
+        clo_d = transitive_closure(edges)
+        dist_e = _pairs(derive_direct_edges(clo_d, edges=edges), "child", "parent")
+        dist_c = _pairs(derive_direct_edges(clo_d), "child", "parent")
+        monkeypatch.setenv("SUBONT_LOCAL_TC", "auto")
+        clo_l = transitive_closure(edges)
+        assert getattr(clo_l, "_subont_local_anc", None) is not None
+        loc_e = _pairs(derive_direct_edges(clo_l, edges=edges), "child", "parent")
+        loc_c = _pairs(derive_direct_edges(clo_l), "child", "parent")
+        assert dist_e == loc_e == dist_c == loc_c, seed
