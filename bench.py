@@ -233,11 +233,96 @@ def run_scaling(n_files: int, lo: int = 2, hi: int = 8, repeats: int = 2) -> dic
     return result
 
 
+def _ont_run_pinned(cores: int, n_concepts: int, focus: int) -> dict:
+    """One classify + extract at ``n_concepts`` in a subprocess pinned to
+    exactly ``cores`` CPUs (same honesty argument as _kg_run_pinned)."""
+    import subprocess
+
+    cmd = [
+        "taskset",
+        "-c",
+        f"0-{cores - 1}",
+        sys.executable,
+        os.path.join(REPO, "stress_ontology.py"),
+        "--n",
+        str(n_concepts),
+        "--cores",
+        str(cores),
+        "--naive-check-n",
+        "0",
+        "--extract",
+        "--focus",
+        str(focus),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def run_scaling_ontology(
+    n_concepts: int, lo: int = 2, hi: int = 8, repeats: int = 1, focus: int = 500
+) -> dict:
+    """N→4N scaling proxy on the ONTOLOGY workload (classify + focus
+    extraction — the reference's actual computation,
+    SubOntologyExtractionHandler.java:99-138).  Same protocol as the
+    corpus→KG run: identical input at both parallelism levels,
+    taskset-pinned subprocesses, throughput = closure rows / total
+    pipeline wall, efficiency = throughput ratio / core ratio."""
+    def best(cores: int) -> dict:
+        r = None
+        for _ in range(max(repeats, 1)):
+            cur = _ont_run_pinned(cores, n_concepts, focus)
+            cur["total_sec"] = round(
+                cur["classify_sec"] + cur["direct_sec"] + cur.get("extract_sec", 0.0), 1
+            )
+            if r is None or cur["total_sec"] < r["total_sec"]:
+                r = cur
+        return r
+
+    r_lo, r_hi = best(lo), best(hi)
+    assert r_lo["closure_rows"] == r_hi["closure_rows"], "outputs differ across levels"
+    thr_lo = r_lo["closure_rows"] / r_lo["total_sec"]
+    thr_hi = r_hi["closure_rows"] / r_hi["total_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    result = {
+        "metric": "ontology_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_concepts": n_concepts,
+        "closure_rows": r_hi["closure_rows"],
+        f"local[{lo}]": {
+            "total_sec": r_lo["total_sec"],
+            "classify_sec": r_lo["classify_sec"],
+            "extract_sec": r_lo.get("extract_sec"),
+        },
+        f"local[{hi}]": {
+            "total_sec": r_hi["total_sec"],
+            "classify_sec": r_hi["classify_sec"],
+            "extract_sec": r_hi.get("extract_sec"),
+        },
+    }
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+        f.write(
+            f"\n## Ontology scaling run ({n_concepts} concepts, {focus} focus)\n\n"
+            f"| parallelism | classify (s) | extract (s) | total (s) | closure rows/s |\n"
+            f"|---|---|---|---|---|\n"
+            f"| local[{lo}] | {r_lo['classify_sec']} | {r_lo.get('extract_sec')} | "
+            f"{r_lo['total_sec']} | {thr_lo:.0f} |\n"
+            f"| local[{hi}] | {r_hi['classify_sec']} | {r_hi.get('extract_sec')} | "
+            f"{r_hi['total_sec']} | {thr_hi:.0f} |\n\n"
+            f"Scaling efficiency (throughput ratio / core ratio): **{eff:.3f}**\n"
+        )
+    return result
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-ont", action="store_true")
+    ap.add_argument("--n-concepts", type=int, default=100_000)
+    ap.add_argument("--focus", type=int, default=500)
+    ap.add_argument("--ont-repeats", type=int, default=1)
     ap.add_argument("--samples", type=int, default=2)
     ap.add_argument("--n-files", type=int, default=1_000_000)
     ap.add_argument("--lo", type=int, default=2)
@@ -251,6 +336,10 @@ def main() -> None:
         out = {"sec": round(dt, 2), "triples": n}
     elif args.scaling:
         out = run_scaling(args.n_files, args.lo, args.hi, args.repeats)
+    elif args.scaling_ont:
+        out = run_scaling_ontology(
+            args.n_concepts, args.lo, args.hi, args.ont_repeats, args.focus
+        )
     else:
         out = run_headline(args.sf_dir, args.cpus, samples=args.samples)
     print(json.dumps(out))

@@ -940,6 +940,13 @@ def classify(
                 .select("L", "R")
                 .distinct()
             )
+            # cand's Δ-join tree is referenced THREE times inside
+            # _covered_pairs (two key semi-filters + the final pair
+            # restrict); a lazy checkpoint computes it once and the
+            # other references read the blocks — no extra job, and in
+            # the heavy delta≈closure rounds the tree is a full
+            # closure ⋈ conj ⋈ conj evaluation each time.
+            cand = _chk(cand)
         else:
             cand = None
         covered = _covered_pairs(

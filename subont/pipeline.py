@@ -186,7 +186,24 @@ def _expansion_loop(
     # every definition-generator call)
     have_gcis = ont.has_gcis()
 
-    for _ in range(max_rounds):
+    # per-round instrumentation (VERDICT r4 item 8: separate host noise
+    # from real plan nondeterminism in the expansion loop): frontier /
+    # generated / newly-defined counts, driver job counter delta, wall
+    import os as _os
+    import time as _time
+
+    _dbg = bool(_os.environ.get("SUBONT_PHASE_DEBUG"))
+
+    def _job_counter() -> int:
+        try:
+            # py4j unwraps the AtomicInteger to a plain int
+            return int(spark.sparkContext._jsc.sc().dagScheduler().nextJobId())
+        except Exception:
+            return -1
+
+    for _round_i in range(max_rounds):
+        _t_round = _time.time()
+        _jobs0 = _job_counter() if _dbg else 0
         if n_frontier == 0:
             break
         pvf = frontier.join(cur_pvs, frontier.id == cur_pvs.pv_id, "inner")
@@ -284,8 +301,16 @@ def _expansion_loop(
             nxt = spark.createDataFrame([], "id long")
 
         nxt = nxt.unionByName(complex_members).distinct().join(checked, "id", "left_anti")
+        _n_prev_frontier = n_frontier
         frontier, n_frontier = _chk_n(nxt)
         checked = checked.unionByName(frontier)  # lazy union of checkpointed deltas
+        if _dbg:
+            print(
+                f"[expansion round {_round_i + 1}] frontier={_n_prev_frontier} "
+                f"gen={n_gen} newly={n_newly} next={n_frontier} "
+                f"jobs={_job_counter() - _jobs0} dt={_time.time() - _t_round:.1f}s",
+                flush=True,
+            )
     else:
         raise RuntimeError("expansion loop did not converge")
 
