@@ -76,7 +76,14 @@ def main() -> int:
 
     if args.naive_check_n:
         ont_s = synthetic_ontology(spark, n_concepts=args.naive_check_n, seed=args.seed)
-        fast = classify(ont_s)
+        # the check gates the BIG run's machinery: force the distributed
+        # semi-naive path (the local kernel would otherwise take over at
+        # this sample size; it has its own equivalence gates in pytest)
+        os.environ["SUBONT_LOCAL_CLASSIFY"] = "off"
+        try:
+            fast = classify(ont_s)
+        finally:
+            del os.environ["SUBONT_LOCAL_CLASSIFY"]
         slow = classify(ont_s, naive=True)
         d1 = fast.closure.exceptAll(slow.closure).count()
         d2 = slow.closure.exceptAll(fast.closure).count()

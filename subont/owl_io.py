@@ -323,11 +323,126 @@ def render_pv_strings(pvs: DataFrame, max_depth: int = 8) -> DataFrame:
     return resolved
 
 
+def _local_ontology_frames(ont: Ontology):
+    """Bounded Arrow collects of (axioms, pvs, subprops) for the local
+    write-path kernels, or None when any table exceeds its gate."""
+    from .closure import _LOCAL_CLASSIFY_MAX_AXIOMS, _LOCAL_CLASSIFY_MAX_PVS
+
+    ax = ont.axioms.limit(_LOCAL_CLASSIFY_MAX_AXIOMS + 1).toPandas()
+    if len(ax) > _LOCAL_CLASSIFY_MAX_AXIOMS:
+        return None
+    pv = ont.pvs.limit(_LOCAL_CLASSIFY_MAX_PVS + 1).toPandas()
+    if len(pv) > _LOCAL_CLASSIFY_MAX_PVS:
+        return None
+    sp = ont.subprops.limit(_LOCAL_CLASSIFY_MAX_AXIOMS + 1).toPandas()
+    if len(sp) > _LOCAL_CLASSIFY_MAX_AXIOMS:
+        return None
+    return ax, pv, sp
+
+
+def _iri_str(i) -> str:
+    return f"<http://snomed.info/id/{int(i)}>"
+
+
+def _local_render_rows(ax, pv, sp):
+    """(ref_id, expr) rows rendered in-process from collected frames, or
+    None on unknown PV reference / >8-deep nesting (the distributed
+    fixpoint's max_depth) — caller falls back to the distributed render."""
+    iri = _iri_str
+
+    pvrow = {int(r.pv_id): r for r in pv.itertuples(index=False)}
+    memo: dict = {}
+
+    def pv_expr(pid: int, depth: int) -> str | None:
+        got = memo.get(pid)
+        if got is not None:
+            return got
+        r = pvrow.get(pid)
+        if r is None or depth > 8:
+            return None
+        if r.filler_concept is not None and r.filler_concept == r.filler_concept:
+            e = f"ObjectSomeValuesFrom({iri(r.role_id)} {iri(r.filler_concept)})"
+        elif r.is_data:
+            if r.value is None:
+                return None
+            e = f"DataHasValue({iri(r.role_id)} {r.value})"
+        else:
+            parts = []
+            for ref in r.filler_refs:
+                p = iri(ref["ref_id"]) if ref["kind"] == "c" else pv_expr(
+                    int(ref["ref_id"]), depth + 1
+                )
+                if p is None:
+                    return None
+                parts.append(p)
+            inner = parts[0] if len(parts) == 1 else (
+                "ObjectIntersectionOf(" + " ".join(parts) + ")"
+            )
+            e = f"ObjectSomeValuesFrom({iri(r.role_id)} {inner})"
+        memo[pid] = e
+        return e
+
+    rows: list = []
+    for r in ax.itertuples(index=False):
+        parts = []
+        for ref in r.rhs:
+            p = iri(ref["ref_id"]) if ref["kind"] == "c" else pv_expr(int(ref["ref_id"]), 0)
+            if p is None:
+                return None  # unresolvable ref: mirror by using the distributed path
+            parts.append(p)
+        rhs_s = parts[0] if len(parts) == 1 else (
+            "ObjectIntersectionOf(" + " ".join(parts) + ")"
+        )
+        if r.is_gci:
+            if r.gci_super is None or r.gci_super != r.gci_super:
+                return None
+            rows.append((int(r.gci_super), f"SubClassOf({rhs_s} {iri(r.gci_super)})"))
+        elif r.is_equiv:
+            rows.append((int(r.sub_id), f"EquivalentClasses({iri(r.sub_id)} {rhs_s})"))
+        else:
+            rows.append((int(r.sub_id), f"SubClassOf({iri(r.sub_id)} {rhs_s})"))
+    for r in sp.itertuples(index=False):
+        rows.append(
+            (int(r.child), f"SubObjectPropertyOf({iri(r.child)} {iri(r.parent)})")
+        )
+    rows.sort()
+    return rows
+
+
+def _maybe_local_render_axioms(ont: Ontology) -> "DataFrame | None":
+    """Size-gated in-process twin of render_axioms_df — same adaptive
+    pattern as the local classify/TC kernels (closure.py): a subontology-
+    sized render otherwise pays ~5 s of plan construction (the PV-string
+    fixpoint runs a count job per nesting round) at EVERY write surface."""
+    import os
+
+    if os.environ.get("SUBONT_LOCAL_RENDER", "auto") == "off":
+        return None
+    frames = _local_ontology_frames(ont)
+    if frames is None:
+        return None
+    rows = _local_render_rows(*frames)
+    if rows is None:
+        return None
+    import pandas as pd
+
+    spark = ont.axioms.sparkSession
+    schema = "ref_id long, expr string"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["ref_id", "expr"]), schema=schema
+    )
+
+
 def render_axioms_df(ont: Ontology) -> DataFrame:
     """(ref_id, expr) — every axiom + subproperty rendered to functional
-    syntax, fully distributed.  The referenced component of a GCI is its
-    named RHS superclass, matching the reference's OWL refset
-    (OWLtoRF2Service.java:80-83)."""
+    syntax, fully distributed above the size gate.  The referenced
+    component of a GCI is its named RHS superclass, matching the
+    reference's OWL refset (OWLtoRF2Service.java:80-83)."""
+    loc = _maybe_local_render_axioms(ont)
+    if loc is not None:
+        return loc
     pv_strs = render_pv_strings(ont.pvs)
     exploded = ont.axioms.select(
         "axiom_id", "sub_id", "is_equiv", "is_gci", "gci_super",

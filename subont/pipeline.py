@@ -686,9 +686,23 @@ def compute_subontology(
     _t0 = _t.time()
     _dbg = bool(_os.environ.get("SUBONT_PHASE_DEBUG"))
 
+    def _jobs() -> int:
+        try:
+            return int(spark.sparkContext._jsc.sc().dagScheduler().nextJobId())
+        except Exception:
+            return -1
+
+    _j0 = _jobs() if _dbg else 0
+
     def _phase(name: str) -> None:
+        nonlocal _j0
         if _dbg:
-            print(f"[phase {_t.time() - _t0:7.1f}s] {name}", flush=True)
+            j = _jobs()
+            print(
+                f"[phase {_t.time() - _t0:7.1f}s jobs+{j - _j0:4d}] {name}",
+                flush=True,
+            )
+            _j0 = j
 
     options = options or RedundancyOptions()
     if isinstance(focus_ids, DataFrame):

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .model import CORE_MODULE, Ontology
-from .rf2 import _global_row_number, uuid5_col, write_rf2_named, write_rf2_tsv
+from .rf2 import _global_row_number, uuid5_col, write_rf2_named
 from .rf2_io import read_rf2_tsv
 
 TEXT_DEFINITION_TYPE = 900000000000550004   # Definition (core metadata concept)
@@ -201,31 +201,219 @@ def _all_roles(ont: Ontology) -> DataFrame:
     )
 
 
-def _described_concepts(ont: Ontology) -> DataFrame:
+def _described_concepts(ont: Ontology, rendered: DataFrame | None = None) -> DataFrame:
     """Concept ids keyed by an axiom in the OWL refset — the reference's
     conceptAxioms.keySet() (OWLtoRF2Service.java:68-95) plus the four
-    hard-coded metadata ids (:111-118)."""
+    hard-coded metadata ids (:111-118).  ``rendered`` lets the caller
+    pass a checkpointed render_axioms_df so the (expensive) axiom render
+    is evaluated once per conversion, not once per referencing table."""
     from .owl_io import render_axioms_df
 
     spark = ont.axioms.sparkSession
     meta = spark.createDataFrame(
         [(138875005,), (900000000000441003,), (410662002,), (762705008,)], "ref_id long"
     )
+    if rendered is None:
+        rendered = render_axioms_df(ont)
     return (
-        render_axioms_df(ont).select("ref_id").unionByName(
+        rendered.select("ref_id").unionByName(
             _all_roles(ont).select(F.col("role_id").alias("ref_id"))
         ).unionByName(meta).filter(F.col("ref_id") > 0).distinct()
     )
+
+
+_RF2_TABLE_KEYS = {
+    "concept": "SnomedCT/Snapshot/Terminology/sct2_Concept_Snapshot",
+    "description": "SnomedCT/Snapshot/Terminology/sct2_Description_Snapshot-en",
+    "textdef": "SnomedCT/Snapshot/Terminology/sct2_TextDefinition_Snapshot-en",
+    "lang": "SnomedCT/Snapshot/Refset/Language/der2_cRefset_LanguageSnapshot-en",
+    "owl": "SnomedCT/Snapshot/Terminology/sct2_sRefset_OWLExpressionSnapshot",
+    "rel": "SnomedCT/Snapshot/Terminology/sct2_Relationship_Snapshot",
+}
+
+RELATIONSHIP_HEADER = [
+    "id", "effectiveTime", "active", "moduleId", "sourceId", "destinationId",
+    "relationshipGroup", "typeId", "characteristicTypeId", "modifierId",
+]
+
+
+def _maybe_local_owl_rf2_tables(ont: Ontology, effective_time: str):
+    """Size-gated in-process twin of owl_to_rf2_tables: every input is
+    subontology-bounded (axioms/PVs/subprops/labels), and the distributed
+    plan otherwise pays ~10-20 s of per-table planning + scheduling for
+    kilobyte outputs.  Returns {key: (header, sorted row tuples)} or None
+    (over-cap / unrenderable → caller uses the distributed path).  Row
+    CONTENT is identical to the distributed tables (equivalence-gated in
+    tests/test_rf2_extract.py); local rows are additionally fully sorted,
+    making the zip byte-stable run-over-run."""
+    import os as _os
+    import uuid as _uuid
+
+    if _os.environ.get("SUBONT_LOCAL_RF2", "auto") == "off":
+        return None
+    from .owl_io import _local_ontology_frames, _local_render_rows
+    frames = _local_ontology_frames(ont)
+    if frames is None:
+        return None
+    rendered = _local_render_rows(*frames)
+    if rendered is None:
+        return None
+    ax, pv, sp = frames
+    from .closure import _LOCAL_CLASSIFY_MAX_AXIOMS
+
+    an = ont.annotations.filter(
+        F.col("prop").isin("rdfs:label", "skos:prefLabel")
+    ).limit(_LOCAL_CLASSIFY_MAX_AXIOMS + 1).toPandas()
+    if len(an) > _LOCAL_CLASSIFY_MAX_AXIOMS:
+        return None
+
+    et, module = effective_time, str(CORE_MODULE)
+
+    def u5(name: str) -> str:
+        return str(_uuid.uuid5(_uuid.NAMESPACE_URL, name))
+
+    # ---- signature roles: PV roles reachable from axioms + subprop ends
+    pvrow = {int(r.pv_id): r for r in pv.itertuples(index=False)}
+    used: set = set()
+    frontier: list = []
+    for rhs in ax["rhs"]:
+        for ref in rhs:
+            if ref["kind"] == "p":
+                rid = int(ref["ref_id"])
+                if rid not in used:
+                    used.add(rid)
+                    frontier.append(rid)
+    while frontier:
+        nxt: list = []
+        for pid in frontier:
+            row = pvrow.get(pid)
+            if row is None:
+                continue
+            refs = row.filler_refs
+            if refs is None or (isinstance(refs, float) and refs != refs):
+                continue
+            for ref in refs:
+                if ref["kind"] == "p":
+                    rid = int(ref["ref_id"])
+                    if rid not in used:
+                        used.add(rid)
+                        nxt.append(rid)
+        frontier = nxt
+    roles = {int(pvrow[p].role_id) for p in used if p in pvrow}
+    for r in sp.itertuples(index=False):
+        roles.add(int(r.child))
+        roles.add(int(r.parent))
+
+    # ---- concept table ---------------------------------------------------
+    defined = {
+        int(r.sub_id)
+        for r in ax.itertuples(index=False)
+        if r.is_equiv and not r.is_gci
+    }
+    described = {rid for rid, _ in rendered} | roles | {
+        138875005, 900000000000441003, 410662002, 762705008,
+    }
+    concepts = sorted(
+        (str(i), et, "1", module,
+         str(FULLY_DEFINED) if i in defined else str(PRIMITIVE))
+        for i in described if i > 0
+    )
+
+    # ---- descriptions / textdefs / language refset ------------------------
+    def labels(prop: str) -> list:
+        best: dict = {}
+        for r in an.itertuples(index=False):
+            if r.prop == prop:
+                cid = int(r.entity_id)
+                if cid not in best or r.value < best[cid]:
+                    best[cid] = r.value
+        return sorted(best.items())  # rank by concept_id (= _global_row_number)
+
+    def desc_rows(src: list, type_id: int, offset: int) -> list:
+        return [
+            (str(100000000 - 1 + offset + i) + "011", et, "1", module,
+             str(cid), "en", str(type_id), term, str(CASE_INSENSITIVE))
+            for i, (cid, term) in enumerate(src, start=1)
+        ]
+
+    fsn_rows = desc_rows(labels("rdfs:label"), FSN_TYPE, 0)
+    syn_rows = desc_rows(labels("skos:prefLabel"), SYNONYM_TYPE, len(fsn_rows))
+    meta_desc = [
+        ("517382016", et, "1", module, "138875005", "en", str(FULLY_DEFINED),
+         "SNOMED CT Concept (SNOMED RT+CTV3)", str(CASE_INSENSITIVE)),
+        ("900000000000952015", et, "1", module, "900000000000441003", "en",
+         str(FULLY_DEFINED), "SNOMED CT Model Component (metadata)", "900000000000017005"),
+        ("2466114012", et, "1", module, "410662002", "en", str(FULLY_DEFINED),
+         "Concept model attribute (attribute)", str(CASE_INSENSITIVE)),
+        ("3635487013", et, "1", module, "762705008", "en", str(FULLY_DEFINED),
+         "Concept model object attribute (attribute)", str(CASE_INSENSITIVE)),
+        ("3635487013", et, "1", module, "762705008", "en", str(FULLY_DEFINED),
+         "Concept model object attribute", str(CASE_INSENSITIVE)),
+        ("680946014", et, "1", module, "116680003", "en", str(FULLY_DEFINED),
+         "Is a (attribute)", str(CASE_INSENSITIVE)),
+    ]
+    descriptions = sorted(fsn_rows + syn_rows + meta_desc)
+    textdefs = sorted(fsn_rows)
+    lang = sorted(
+        (u5("lang|" + r[0]), et, "1", module, str(US_LANG_REFSET), r[0], str(PREFERRED))
+        for r in fsn_rows
+    )
+
+    # ---- OWL expression refset --------------------------------------------
+    owl_pairs = {
+        (str(rid), expr.replace("<http://snomed.info/id/", ":").replace(">", ""))
+        for rid, expr in rendered
+    }
+    owl_pairs |= {
+        (str(r), f"SubObjectPropertyOf(:{r} :{OBJECT_ATTRIBUTE_TOP})")
+        for r in roles if r != OBJECT_ATTRIBUTE_TOP
+    }
+    owl_pairs |= {
+        ("762705008", "SubClassOf(:762705008 :410662002)"),
+        ("410662002", "SubClassOf(:410662002 :900000000000441003)"),
+        ("900000000000441003", "SubClassOf(:900000000000441003 :138875005)"),
+    }
+    owl_refset = sorted(
+        (u5(f"{rc}|{expr}"), et, "1", module, "733073007", rc, expr)
+        for rc, expr in owl_pairs
+    )
+
+    return {
+        "concept": (CONCEPT_HEADER, concepts),
+        "description": (DESCRIPTION_HEADER, descriptions),
+        "textdef": (DESCRIPTION_HEADER, textdefs),
+        "lang": (LANG_REFSET_HEADER, lang),
+        "owl": (OWL_REFSET_HEADER, owl_refset),
+        "rel": (RELATIONSHIP_HEADER, []),
+    }
 
 
 def owl_to_rf2_tables(ont: Ontology, effective_time: str = "0") -> dict[str, DataFrame]:
     """Every RF2 file of the reference's OWL→RF2 zip as a DataFrame
     (OWLtoRF2Service.java:97-226).  Fully distributed; deterministic ids."""
     from .owl_io import render_axioms_df
+    from .util import chk
 
     spark = ont.axioms.sparkSession
+    local = _maybe_local_owl_rf2_tables(ont, effective_time)
+    if local is not None:
+        import pandas as pd
+
+        out: dict[str, DataFrame] = {}
+        for key, (header, rows) in local.items():
+            schema = ", ".join(f"`{c}` string" for c in header)
+            out[_RF2_TABLE_KEYS[key]] = (
+                spark.createDataFrame(pd.DataFrame(rows, columns=header), schema)
+                if rows else spark.createDataFrame([], schema)
+            )
+        return out
     et = F.lit(effective_time)
     module = F.lit(str(CORE_MODULE))
+
+    # the axiom render is the most expensive subtree here and is probed
+    # by BOTH the concept table (ref ids) and the OWL refset (expression
+    # text) — checkpoint once, evaluate once
+    rendered_ax = chk(render_axioms_df(ont))
 
     defined = (
         ont.axioms.filter(F.col("is_equiv") & ~F.col("is_gci"))
@@ -233,7 +421,7 @@ def owl_to_rf2_tables(ont: Ontology, effective_time: str = "0") -> dict[str, Dat
         .distinct()
     )
     concepts = (
-        _described_concepts(ont)
+        _described_concepts(ont, rendered=rendered_ax)
         .join(defined.withColumn("_d", F.lit(True)), "ref_id", "left")
         .select(
             F.col("ref_id").cast("string").alias("id"),
@@ -249,7 +437,9 @@ def owl_to_rf2_tables(ont: Ontology, effective_time: str = "0") -> dict[str, Dat
     # label-derived description rows with the reference's dummy-sequence
     # ids "<100000000+n>011" (OWLtoRF2Service.java:125-146) — numbered by
     # concept-id rank (deterministic) instead of HashMap iteration order
-    fsn = _global_row_number(_label_table(ont, "rdfs:label"), ["concept_id"])
+    # fsn is re-read by descriptions, textdefs AND the language refset;
+    # chk() pins it so the range-partition + window runs once
+    fsn = chk(_global_row_number(_label_table(ont, "rdfs:label"), ["concept_id"]))
     n_fsn = fsn.count()
     syn = _global_row_number(_label_table(ont, "skos:prefLabel"), ["concept_id"]).withColumn(
         "rn", F.col("rn") + F.lit(n_fsn)
@@ -306,7 +496,7 @@ def owl_to_rf2_tables(ont: Ontology, effective_time: str = "0") -> dict[str, Dat
     compact = F.regexp_replace(
         F.regexp_replace(F.col("expr"), "<http://snomed\\.info/id/", ":"), ">", ""
     )
-    rendered = render_axioms_df(ont).select(
+    rendered = rendered_ax.select(
         F.col("ref_id").cast("string").alias("referencedComponentId"),
         compact.alias("owlExpression"),
     )
@@ -360,22 +550,35 @@ def owl_to_rf2_tables(ont: Ontology, effective_time: str = "0") -> dict[str, Dat
     }
 
 
+def _tsv_text(df: DataFrame) -> str:
+    """Exact in-process twin of write_rf2_tsv's CSV-sink formatting:
+    header line, tab-separated, nulls empty, values NEVER quoted, every
+    record (header included) newline-terminated."""
+    pdf = df.toPandas()
+    lines = ["\t".join(pdf.columns)]
+    for row in pdf.itertuples(index=False, name=None):
+        lines.append("\t".join("" if v is None else str(v) for v in row))
+    return "\n".join(lines) + "\n"
+
+
 def write_owl_rf2_zip(ont: Ontology, zip_path: str, date_string: str = "20180731") -> None:
     """S9 sink: the reference's RF2 zip (OWLtoRF2Service.java:98-225).
-    Each table is written by Spark (distributed render/sort); the final
-    zip assembly streams the written part files — a single-archive sink
-    is inherently one writer, so only the packaging is driver-side."""
-    tables = owl_to_rf2_tables(ont)
-    tmp = tempfile.mkdtemp(prefix="owlrf2_")
-    try:
-        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
-            for rel, df in tables.items():
-                out = os.path.join(tmp, rel.replace("/", "_"))
-                write_rf2_tsv(df, out)
-                part = glob.glob(os.path.join(out, "part-*.csv"))[0]
-                zf.write(part, f"{rel}_INT_{date_string}.txt")
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    Tables are computed by Spark (distributed render); a single-archive
+    zip sink is inherently one writer, so each table is Arrow-collected
+    and streamed into the archive driver-side — the same driver-memory
+    profile as the part-file repack this replaces (the driver already
+    read every part file to assemble the zip), at a third of the jobs."""
+    local = _maybe_local_owl_rf2_tables(ont, "0")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        if local is not None:  # assemble straight from the local rows
+            for key, (header, rows) in local.items():
+                txt = "\n".join(
+                    ["\t".join(header)] + ["\t".join(r) for r in rows]
+                ) + "\n"
+                zf.writestr(f"{_RF2_TABLE_KEYS[key]}_INT_{date_string}.txt", txt)
+            return
+        for rel, df in owl_to_rf2_tables(ont).items():
+            zf.writestr(f"{rel}_INT_{date_string}.txt", _tsv_text(df))
 
 
 def read_rf2_zip(zip_path: str) -> str:

@@ -151,12 +151,15 @@ def test_transitive_closure_deep_chain(spark):
     assert _pairs(clo.filter("desc = 0 and anc = 40")) == {(0, 40)}
 
 
-def test_semi_naive_cascade_requires_round_two(spark):
+def test_semi_naive_cascade_requires_round_two(spark, monkeypatch):
     """A derivation chain that CANNOT complete in one rule round:
     round 1 derives the pv edge ∃R.D ⊑ ∃R.C (from D ⊑ C), and only then
     can R-equiv fire for X' (whose stated parent is ∃R.D).  The
-    semi-naive delta path must still find X' ⊑ A."""
+    semi-naive delta path must still find X' ⊑ A.  (Distributed
+    machinery forced.)"""
     from subont.model import And, OntologyBuilder, Some, pv_id_for
+
+    monkeypatch.setenv("SUBONT_LOCAL_CLASSIFY", "off")
 
     b = OntologyBuilder()
     R = 100
@@ -176,12 +179,16 @@ def test_semi_naive_cascade_requires_round_two(spark):
     assert d.isEmpty() and d2.isEmpty()
 
 
-def test_semi_naive_equals_naive_randomized(spark):
+def test_semi_naive_equals_naive_randomized(spark, monkeypatch):
     """Equivalence oracle over seeded random EL ontologies mixing
     subclasses, 2-conjunct equivalences, nested PVs, a transitive role
     and a role chain — the semi-naive rule evaluation must produce
-    EXACTLY the naive fixpoint's closure."""
+    EXACTLY the naive fixpoint's closure.  Local kernel forced OFF: this
+    gate exists for the DISTRIBUTED semi-naive machinery (local ≡
+    distributed has its own gates below)."""
     import random
+
+    monkeypatch.setenv("SUBONT_LOCAL_CLASSIFY", "off")
 
     from subont.model import And, OntologyBuilder, Some
 
@@ -221,6 +228,7 @@ def test_delta_first_chain_equals_naive(spark, monkeypatch):
     from subont import closure as C
     from subont.model import And, OntologyBuilder, Some
 
+    monkeypatch.setenv("SUBONT_LOCAL_CLASSIFY", "off")
     monkeypatch.setattr(C, "DELTA_FIRST_MIN_CLOSURE", 0)
     monkeypatch.setattr(C, "DELTA_FIRST_RATIO", 1)
 
@@ -252,12 +260,14 @@ def test_delta_first_chain_equals_naive(spark, monkeypatch):
         assert slow.closure.exceptAll(fast.closure).isEmpty(), seed
 
 
-def test_classify_direct_witness_equivalence(spark):
+def test_classify_direct_witness_equivalence(spark, monkeypatch):
     """classify derives direct edges via the GENERATING edge witness set
     (never closure ⋈ closure — the hub-skew square).  Gate: the
     witness-form result equals the brute-force self-join form, and
     TC(gen_edges) == closure, the invariant the witness argument
-    rests on."""
+    rests on.  (Distributed machinery forced — the local kernel has its
+    own equivalence gates.)"""
+    monkeypatch.setenv("SUBONT_LOCAL_CLASSIFY", "off")
     ont = fixtures.dummy_ontology(spark)
     cl = classify(ont)
     brute = derive_direct_edges(cl.closure)  # edges=None → self-join twin
@@ -268,11 +278,13 @@ def test_classify_direct_witness_equivalence(spark):
     assert cl.closure.exceptAll(tc).isEmpty()
 
 
-def test_seeded_classify_direct_witness(spark):
+def test_seeded_classify_direct_witness(spark, monkeypatch):
     """Incremental (seeded) classify: the seed's rule-derived closure
     pairs have no last-hop witness among the newly stated edges — the
     accumulated gen_edges (seed.gen_edges ∪ stated ∪ rule edges) must
-    still make the witness-form direct edges exact."""
+    still make the witness-form direct edges exact.  (Distributed
+    machinery forced.)"""
+    monkeypatch.setenv("SUBONT_LOCAL_CLASSIFY", "off")
     b = OntologyBuilder()
     R = 100
     b.add_equiv(1, And([2, Some(R, 3)]))   # A ≡ B ⊓ ∃R.C
@@ -427,3 +439,126 @@ def test_direct_edges_local_equals_distributed(spark, monkeypatch):
         loc_e = _pairs(derive_direct_edges(clo_l, edges=edges), "child", "parent")
         loc_c = _pairs(derive_direct_edges(clo_l), "child", "parent")
         assert dist_e == loc_e == dist_c == loc_c, seed
+
+
+# ---------------------------------------------------------------------------
+# local classify kernel ≡ distributed classify (fixture + randomized synth)
+# ---------------------------------------------------------------------------
+
+def _cl_sets(cl):
+    return (
+        {(r.desc, r.anc) for r in cl.closure.collect()},
+        {(r.child, r.parent) for r in cl.direct.collect()},
+        {r.id for r in cl.non_primitive.collect()},
+        {(r.desc, r.anc) for r in cl.prop_closure.collect()},
+        {r.pv_id for r in cl.pv_names.collect()},
+        {r.gci_id for r in cl.gci_names.collect()},
+    )
+
+
+def test_local_classify_equals_distributed_fixture(spark, monkeypatch):
+    from subont import fixtures
+
+    ont = fixtures.dummy_ontology(spark)
+    monkeypatch.setenv("SUBONT_LOCAL_CLASSIFY", "auto")
+    loc = classify(ont)
+    assert hasattr(loc.gen_edges, "_subont_local_pairs")  # local kernel engaged
+    monkeypatch.setenv("SUBONT_LOCAL_CLASSIFY", "off")
+    dist = classify(ont)
+    assert not hasattr(dist.gen_edges, "_subont_local_pairs")
+    assert _cl_sets(loc) == _cl_sets(dist)
+
+
+def test_local_classify_equals_distributed_synth(spark, monkeypatch):
+    """Randomized ontologies with PVs, GCIs, chains and transitive roles;
+    both directions forced, seeded continuation included."""
+    from subont.synth import synthetic_ontology
+
+    for seed in (0, 3):
+        ont = synthetic_ontology(spark, n_concepts=350, seed=seed, gci_every=64)
+        monkeypatch.setenv("SUBONT_LOCAL_CLASSIFY", "auto")
+        loc = classify(ont)
+        assert hasattr(loc.gen_edges, "_subont_local_pairs")
+        # seeded re-classify stays local and is a no-op on the same axioms
+        re_loc = classify(ont, seed=loc)
+        assert hasattr(re_loc.gen_edges, "_subont_local_pairs")
+        monkeypatch.setenv("SUBONT_LOCAL_CLASSIFY", "off")
+        dist = classify(ont)
+        assert _cl_sets(loc) == _cl_sets(dist)
+        assert _cl_sets(re_loc)[0] == _cl_sets(loc)[0]
+
+
+def test_local_classify_distributed_seed_stays_distributed(spark, monkeypatch):
+    """A seed produced by the distributed path must NOT flip the follow-up
+    call onto the local kernel (no unbounded collect of a distributed
+    closure), and the result still matches."""
+    from subont import fixtures
+
+    ont = fixtures.dummy_ontology(spark)
+    monkeypatch.setenv("SUBONT_LOCAL_CLASSIFY", "off")
+    dist = classify(ont)
+    monkeypatch.setenv("SUBONT_LOCAL_CLASSIFY", "auto")
+    seeded = classify(ont, seed=dist)
+    assert not hasattr(seeded.gen_edges, "_subont_local_pairs")
+    assert _cl_sets(seeded)[0] == _cl_sets(dist)[0]
+
+
+def test_local_classify_cycle_detection(spark, monkeypatch):
+    """The local kernel raises the same equivalence-cycle ValueError."""
+    import pytest as _pytest
+
+    from subont.model import OntologyBuilder
+
+    b = OntologyBuilder()
+    b.add_subclass(10, 20)
+    b.add_subclass(20, 10)
+    ont = b.build(spark)
+    monkeypatch.setenv("SUBONT_LOCAL_CLASSIFY", "auto")
+    with _pytest.raises(ValueError, match="cycle"):
+        classify(ont)
+    monkeypatch.setenv("SUBONT_LOCAL_CLASSIFY", "off")
+    with _pytest.raises(ValueError, match="cycle"):
+        classify(ont)
+
+
+def test_big_delta_naive_branch_equals_naive(spark, monkeypatch):
+    """The Δ≈closure branch (full re-evaluation over the pre-partitioned
+    closure, VERDICT r4 item 5) must produce exactly the naive fixpoint —
+    forced by zeroing the size gate and making the delta-first ratio
+    unreachable, so every semi-naive round with n_delta*2 >= closure
+    takes the untagged tree (and the per-round repartition engages)."""
+    import random
+
+    from subont import closure as C
+    from subont.model import And, OntologyBuilder, Some
+
+    monkeypatch.setenv("SUBONT_LOCAL_CLASSIFY", "off")
+    monkeypatch.setattr(C, "DELTA_FIRST_MIN_CLOSURE", 0)
+    monkeypatch.setattr(C, "DELTA_FIRST_RATIO", 10**9)
+
+    for seed in (5, 31):
+        rng = random.Random(seed)
+        b = OntologyBuilder()
+        R, S, T = 100, 101, 102
+        b.add_subproperty(S, R)
+        b.transitive_roles.add(R)
+        b.role_chains.append(dict(super_role=T, left_role=T, right_role=R))
+        b.role_chains.append(dict(super_role=R, left_role=S, right_role=R))
+        n = 14
+        for c in range(1, n):
+            b.add_subclass(c, rng.randrange(c + 1, n + 1) if c + 1 <= n else n)
+        for _ in range(8):
+            c, f = rng.randrange(1, n), rng.randrange(1, n)
+            b.add_subclass(c, Some(rng.choice([R, S, T]), f))
+        for _ in range(3):
+            a, c2, f = rng.randrange(1, n), rng.randrange(1, n), rng.randrange(1, n)
+            if a != c2:
+                b.add_equiv(a, And([c2, Some(rng.choice([R, S]), f)]))
+        ont = b.build(spark)
+        try:
+            fast = classify(ont)
+            slow = classify(ont, naive=True)
+        except ValueError:
+            continue
+        assert fast.closure.exceptAll(slow.closure).isEmpty(), seed
+        assert slow.closure.exceptAll(fast.closure).isEmpty(), seed

@@ -127,3 +127,19 @@ def test_entails_lookup(spark):
     assert got[(362969004, 138875005)] is True
     assert got[(362969004, 362969004)] is True
     assert got[(138875005, 362969004)] is False
+
+
+def test_local_render_equals_distributed(spark, monkeypatch):
+    """Size-gated local axiom render ≡ the distributed PV-string fixpoint
+    render, on the fixture and on a randomized synthetic ontology."""
+    from subont import fixtures
+    from subont.owl_io import render_axioms_df
+    from subont.synth import synthetic_ontology
+
+    for ont in (fixtures.dummy_ontology(spark),
+                synthetic_ontology(spark, n_concepts=300, seed=5, gci_every=64)):
+        monkeypatch.setenv("SUBONT_LOCAL_RENDER", "auto")
+        loc = {(r.ref_id, r.expr) for r in render_axioms_df(ont).collect()}
+        monkeypatch.setenv("SUBONT_LOCAL_RENDER", "off")
+        dist = {(r.ref_id, r.expr) for r in render_axioms_df(ont).collect()}
+        assert loc == dist and len(loc) > 0

@@ -207,3 +207,41 @@ def test_json_subset_variant(spark, tmp_path):
     p.write_text("conceptIds\n362969004\n")
     got = [tuple(r) for r in load_subset(spark, str(p)).collect()]
     assert got == [(362969004, False)]
+
+
+def test_tsv_text_twin_of_csv_sink(spark, tmp_path):
+    """_tsv_text (the zip sink's in-process formatter) is byte-identical
+    to write_rf2_tsv's CSV-sink output, including nulls, embedded
+    quotes, and the trailing newline."""
+    import glob as _glob
+
+    from subont.rf2 import write_rf2_tsv
+    from subont.rf2_extract import _tsv_text
+
+    df = spark.createDataFrame(
+        [("1", 'say "hi"', None), ("2", "", "x"), ("3", "plain", "y")],
+        "`id` string, `term` string, `opt` string",
+    ).coalesce(1)
+    out = str(tmp_path / "dist")
+    write_rf2_tsv(df, out)
+    part = _glob.glob(out + "/part-*.csv")[0]
+    assert _tsv_text(df) == open(part).read()
+
+
+def test_local_owl_rf2_tables_equal_distributed(spark, monkeypatch):
+    """The local OWL→RF2 conversion produces exactly the distributed
+    tables' rows (fixture + randomized synthetic ontology)."""
+    from subont.synth import synthetic_ontology
+
+    for ont in (fixtures.dummy_ontology(spark),
+                synthetic_ontology(spark, n_concepts=200, seed=2, gci_every=64)):
+        monkeypatch.setenv("SUBONT_LOCAL_RF2", "auto")
+        loc = owl_to_rf2_tables(ont)
+        monkeypatch.setenv("SUBONT_LOCAL_RF2", "off")
+        dist = owl_to_rf2_tables(ont)
+        assert loc.keys() == dist.keys()
+        for key in loc:
+            lrows = {tuple(r) for r in loc[key].collect()}
+            drows = {tuple(r) for r in dist[key].collect()}
+            assert loc[key].columns == dist[key].columns, key
+            assert lrows == drows, key

@@ -13,7 +13,8 @@ from subont.closure import classify
 from subont.synth import synthetic_ontology
 
 
-def test_synth_classifies_and_matches_naive(spark):
+def test_synth_classifies_and_matches_naive(spark, monkeypatch):
+    monkeypatch.setenv("SUBONT_LOCAL_CLASSIFY", "off")  # gate the DISTRIBUTED semi-naive path
     ont = synthetic_ontology(spark, n_concepts=400, seed=0, gci_every=64)
     cl = classify(ont)  # raises on equivalence cycles → cycle-freedom gate
     slow = classify(ont, naive=True)
