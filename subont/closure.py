@@ -54,10 +54,14 @@ from .util import chk_n as _chk_n
 # the fused delta-tagged tree (fewer query stages) wins.
 DELTA_FIRST_MIN_CLOSURE = 2_000_000
 DELTA_FIRST_RATIO = 20
-# Δ≈closure rounds take the UNTAGGED tree over the pre-partitioned
-# closure when n_delta * ratio >= n_closure (the tagged union both
-# skips little and destroys the single-exchange reuse)
-_NAIVE_ROUND_RATIO = int(os.environ.get("SUBONT_NAIVE_ROUND_RATIO", "2"))
+# Δ-heavy rounds take the UNTAGGED chain tree when
+# n_delta * ratio >= n_closure: the tagged union's per-site flag
+# plumbing skips little when most rows are new, and the plain tree
+# reuses the closure exchange at all three sites.  Default 8 is the
+# measured 360k crossover (BENCH.md round-5: round 2 = 8M-row delta in
+# a 57M-row closure ran 148.3 s untagged vs 181.5 s tagged, same
+# window; byte-identical outputs).
+_NAIVE_ROUND_RATIO = int(os.environ.get("SUBONT_NAIVE_ROUND_RATIO", "8"))
 
 
 # explicit-broadcast safety valve for _anti_pairs: above this many
@@ -347,9 +351,15 @@ def transitive_closure(
             )
             .select(F.col("s_desc").alias("desc"), F.col("e_anc").alias("anc"))
         )
-        new0 = _chk(
-            _anti_pairs(left_ext.distinct(), closure, gate=big)
-        )
+        left_ext = left_ext.distinct()
+        if big:
+            # materialize the extension ONCE: _anti_pairs references its
+            # input twice (key set + anti probe) and the gate's count
+            # would otherwise evaluate this closure-scanning tree again
+            left_ext, n_le = _chk_n(left_ext)
+            new0 = _chk(_anti_pairs(left_ext, closure, n_cand=n_le))
+        else:
+            new0 = _chk(_anti_pairs(left_ext, closure))
         closure = closure.unionByName(new0)
         delta = new0.unionByName(edges).distinct()
         delta_parts = [edges, new0]
@@ -362,6 +372,7 @@ def transitive_closure(
     # each round (round-1 profile: the per-round closure re-checkpoint
     # was ~half the fixpoint's serial cost).
     n_prev: int | None = None  # last delta count — bounds ext's desc keys
+    n_total = 0  # accumulated closure size (self-adaptive big switch)
     for _ in range(max_rounds):
         ext = (
             delta.select(F.col("desc").alias("d_desc"), F.col("anc").alias("d_anc"))
@@ -372,12 +383,30 @@ def transitive_closure(
         if seed_closure is not None:
             # seeded frontiers are small — keep the closure un-shuffled.
             # ext's distinct descs ⊆ delta's descs, so last round's
-            # delta count is a free upper bound for the broadcast gate.
-            delta = _anti_pairs(ext, closure, n_cand=n_prev, gate=big and n_prev is None)
+            # delta count is a free upper bound for the broadcast gate;
+            # in the first big round (no bound yet) materialize ext once
+            # instead of letting the gate re-evaluate the hop tree.
+            if big and n_prev is None:
+                ext, n_ext = _chk_n(ext)
+                delta = _anti_pairs(ext, closure, n_cand=n_ext)
+            else:
+                delta = _anti_pairs(ext, closure, n_cand=n_prev)
+        elif n_total >= DELTA_FIRST_MIN_CLOSURE:
+            # UNSEEDED at scale (the initial classify TC — measured
+            # 219 s of the 360k classify): a plain left_anti sort-merge
+            # re-shuffles the whole accumulated closure every round
+            # (Σ_k |closure_k| pair-shuffles over ~17 depth levels).
+            # Once the closure has grown past the big threshold,
+            # materialize the one-hop extension and switch to the
+            # broadcast-restricted anti (closure scanned, not shuffled).
+            # Self-adaptive via the per-round counts already being paid.
+            ext, n_ext = _chk_n(ext)
+            delta = _anti_pairs(ext, closure, n_cand=n_ext)
         else:
             delta = ext.join(closure, ["desc", "anc"], "left_anti")
         delta, n = _chk_n(delta)
         n_prev = n
+        n_total += n
         if n == 0:
             break
         closure = closure.unionByName(delta)
@@ -904,6 +933,9 @@ def classify(
     SubOntologyExtractionHandler.java:186).  Do NOT seed after axiom
     REMOVAL (e.g. the P11 shrink) — monotonicity is the soundness
     argument."""
+    import time as _time0
+
+    _t_init = _time0.time()
     # size-gated local kernel (naive=True stays distributed so the
     # brute-force oracle remains an independent implementation)
     if not naive:
@@ -1202,7 +1234,16 @@ def classify(
         extra shuffle job would cost more than it saves)."""
         if naive or n_closure_est < DELTA_FIRST_MIN_CLOSURE:
             return clo
-        if os.environ.get("SUBONT_ROUND_REPARTITION", "auto") == "off":
+        # MEASURED NET LOSS, default off (BENCH.md round-5 A/B: 360k
+        # classify 876.7 s with vs 815.8 s without, same window): within
+        # one round every rule site feeds a single action, so Spark's
+        # ReuseExchange/AQE stage reuse already dedupes the identical
+        # closure exchanges — the explicit repartition only adds a
+        # 63M-row shuffle + checkpoint per round (and the >256-bit
+        # stats-strip rewrap discards the partitioning it tried to pin).
+        # Kept behind the env knob for re-evaluation on a real cluster,
+        # where exchange reuse across AQE stage boundaries is weaker.
+        if os.environ.get("SUBONT_ROUND_REPARTITION", "off") != "on":
             return clo
         return _chk(clo.repartition(F.col("desc")))
 
@@ -1215,6 +1256,11 @@ def classify(
     _last_n_new = 0
     import time as _time
 
+    if progress:
+        print(
+            f"classify initial TC: {n_closure_est} rows ({_time.time() - _t_init:.1f}s)",
+            flush=True,
+        )
     _t_round = _time.time()
     for _round in range(max_fixpoint_rounds):
         semi = rule_delta is not None and not naive
@@ -1337,13 +1383,25 @@ def classify(
         new_edges = new_edges_parts[0]
         for p in new_edges_parts[1:]:
             new_edges = new_edges.unionByName(p)
-        new_edges = _anti_pairs(
+        new_edges = (
             new_edges.filter(F.col("child") != F.col("parent"))
             .select(F.col("child").alias("desc"), F.col("parent").alias("anc"))
-            .distinct(),
-            closure,
-            gate=n_closure_est >= DELTA_FIRST_MIN_CLOSURE,
-        ).select(F.col("desc").alias("child"), F.col("anc").alias("parent"))
+            .distinct()
+        )
+        if n_closure_est >= DELTA_FIRST_MIN_CLOSURE:
+            # big regime: materialize the rule-output union ONCE before
+            # the dedup.  _anti_pairs references its input twice (key
+            # set + anti probe); un-checkpointed, that re-evaluated the
+            # whole union of rule join trees a second time per round —
+            # measured as the round-5 classify regression (BENCH.md:
+            # 815.8 s → the fix target is the r4-record ~495 s shape).
+            # n_cand bounds the key set, so the gate's own count job is
+            # never needed.
+            new_edges, n_cand = _chk_n(new_edges)
+            new_edges = _anti_pairs(new_edges, closure, n_cand=n_cand)
+        else:
+            new_edges = _anti_pairs(new_edges, closure)
+        new_edges = new_edges.select(F.col("desc").alias("child"), F.col("anc").alias("parent"))
         new_edges, n_new = _chk_n(new_edges)
         n_closure_est += n_new  # provisional growth (closure only grows)
         _last_n_new = n_new
@@ -1370,6 +1428,7 @@ def classify(
     # equivalence-cycle detection (A4): reference assumes none for SCT
     # (OntologyReasoningService.java:142).  Fail fast if violated.
     if not allow_equivalences:
+        _t_cyc = _time.time()
         cyc = closure.join(
             closure.select(F.col("desc").alias("y_desc"), F.col("anc").alias("y_anc")),
             (F.col("desc") == F.col("y_anc")) & (F.col("anc") == F.col("y_desc")),
@@ -1377,9 +1436,15 @@ def classify(
         )
         if not cyc.isEmpty():
             raise ValueError("equivalent-class cycle detected; unsupported (reference assumes none)")
+        if progress:
+            print(f"classify cycle check: {_time.time() - _t_cyc:.1f}s", flush=True)
 
     _local_anc = getattr(closure, "_subont_local_anc", None)
-    closure = closure.localCheckpoint(eager=False)
+    # _chk, not a raw localCheckpoint: in SUBONT_CHECKPOINT_DIR mode the
+    # classification's OUTPUT surfaces must be durable too — a reliable
+    # fixpoint whose final checkpoint is executor-memory-local would
+    # still die with the executor
+    closure = _chk(closure)
     if _local_anc is not None:
         # the checkpoint rewraps the same rows; keep the local ancestor
         # map rideable so downstream consumers (reduce kernels, D4 map,
@@ -1388,11 +1453,11 @@ def classify(
     gen_edges = gen_parts[0]
     for p in gen_parts[1:]:
         gen_edges = gen_edges.unionByName(p)
-    gen_edges = gen_edges.distinct().localCheckpoint(eager=False)
+    gen_edges = _chk(gen_edges.distinct())
     # witness-edge form: linear in |gen_edges|, never closure ⋈ closure
     # (the hub-skew square — at SNOMED scale every concept is below the
     # root, so the mid-join would pair |desc(root)|·|anc(root)| rows)
-    direct = derive_direct_edges(closure, edges=gen_edges).localCheckpoint(eager=False)
+    direct = _chk(derive_direct_edges(closure, edges=gen_edges))
     non_primitive = (
         ont.axioms.filter(F.col("is_equiv")).select(F.col("sub_id").alias("id"))
         .unionByName(pv_names.select(F.col("pv_id").alias("id")))
@@ -1401,9 +1466,9 @@ def classify(
     return Classified(
         closure=closure,
         direct=direct,
-        non_primitive=non_primitive.localCheckpoint(eager=False),
-        prop_closure=prop_closure.localCheckpoint(eager=False),
-        pv_names=pv_names.localCheckpoint(eager=False),
-        gci_names=gci_names.localCheckpoint(eager=False),
+        non_primitive=_chk(non_primitive),
+        prop_closure=_chk(prop_closure),
+        pv_names=_chk(pv_names),
+        gci_names=_chk(gci_names),
         gen_edges=gen_edges,
     )
