@@ -250,10 +250,9 @@ def _ont_run_pinned(cores: int, n_concepts: int, focus: int) -> dict:
         str(cores),
         "--naive-check-n",
         "0",
-        "--extract",
-        "--focus",
-        str(focus),
     ]
+    if focus > 0:  # focus=0 → classify-only sample
+        cmd += ["--extract", "--focus", str(focus)]
     out = subprocess.run(cmd, capture_output=True, text=True, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
