@@ -159,12 +159,25 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_SEEDS, bands: int = 2) -
     only inside hash buckets (shuffle on band key, never all-pairs)."""
     sig = minhash_signatures(docs, k)
     rows_per_band = k // bands
-    parts = []
+    band_key = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
+        band_key.append(F.md5(F.concat_ws("|", *cols)))
+    # each banded row carries the EARLIER bands' keys ("prior"): a pair
+    # that collides in several bands is emitted only from its first
+    # colliding band (kept iff no earlier band key matches), so the join
+    # output is already the distinct pair set and the final
+    # distinct-exchange over the (quadratic) pair volume — measured 15M
+    # pre-distinct rows at sf0.1 — is gone entirely (guide §2.3/§2.4:
+    # dedup before the shuffle, then remove the shuffle).
+    parts = []
+    for b in range(bands):
         parts.append(
             sig.select(
-                "doc_id", F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bkey")
+                "doc_id",
+                F.lit(b).alias("band"),
+                band_key[b].alias("bkey"),
+                F.array(*[band_key[p] for p in range(b)]).alias("prior"),
             )
         )
     banded = parts[0]
@@ -185,18 +198,21 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_SEEDS, bands: int = 2) -
     n_out = banded.sparkSession.sparkContext.defaultParallelism
     slice_of = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(S)).cast("int")
     a = (
-        banded.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
+        banded.select(F.col("doc_id").alias("doc_a"), "band", "bkey", F.col("prior").alias("prior_a"))
         .withColumn("sb", F.explode(F.array(*[F.lit(i) for i in range(S)])))
         .repartition(n_out, "band", "bkey", "sb")
     )
     b2 = banded.select(
-        F.col("doc_id").alias("doc_b"), "band", "bkey", slice_of.alias("sb")
+        F.col("doc_id").alias("doc_b"), "band", "bkey", F.col("prior").alias("prior_b"), slice_of.alias("sb")
     ).repartition(n_out, "band", "bkey", "sb")
+    no_earlier_collision = ~F.exists(
+        F.zip_with(F.col("prior_a"), F.col("prior_b"), lambda x, y: x == y),
+        lambda t: t,
+    )
     return (
         a.join(b2, ["band", "bkey", "sb"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter((F.col("doc_a") < F.col("doc_b")) & no_earlier_collision)
         .select("doc_a", "doc_b")
-        .distinct()
     )
 
 

@@ -43,6 +43,50 @@ def _durable_dir() -> str | None:
     return os.environ.get("SUBONT_CHECKPOINT_DIR") or None
 
 
+# ---------------------------------------------------------------------------
+# Shipping a driver-local kernel result back to Spark.
+#
+# ``spark.createDataFrame(pandas)`` parallelizes Arrow batches through the
+# Python gateway and every downstream action pays a python-deserialization
+# scan: measured 0.4-0.6 s to create + 1.2-1.6 s per count on a 640k-row
+# pair table (bench profile, round 6).  Writing the SAME Arrow data to a
+# one-file parquet table and reading it back with an explicit schema is a
+# JVM-native vectorized scan: 0.07 s write + 0.08 s read + 0.12 s count.
+# The temp file lives for the SparkSession's lifetime (plans reference it
+# lazily) in a per-process dir cleaned at exit; a fresh random name per
+# call — nothing is keyed on inputs, nothing survives the process.
+# ---------------------------------------------------------------------------
+
+_SHIP_DIR: list[str] = []
+
+
+def _ship_dir() -> str:
+    if not _SHIP_DIR:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="subont_local_ship_")
+        atexit.register(shutil.rmtree, d, True)
+        _SHIP_DIR.append(d)
+    return _SHIP_DIR[0]
+
+
+def ship_local_table(spark, arrow_table, schema_ddl: str):
+    """One-file parquet roundtrip for a driver-computed pyarrow Table →
+    DataFrame backed by a vectorized parquet scan (single file, row
+    order preserved — local-kernel outputs stay deterministic)."""
+    import os as _os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    d = _os.path.join(_ship_dir(), uuid.uuid4().hex)
+    _os.makedirs(d)
+    pq.write_table(arrow_table, _os.path.join(d, "part-0.parquet"), compression="zstd")
+    return spark.read.schema(schema_ddl).parquet(d)
+
+
 # 256 bits ≈ a 10^77 size estimate: far beyond any physical size, far
 # below the 10^100000-digit monsters compounding produces.  Estimates
 # between strips multiply at most a few dozen leaves of ≤2^256 each, so
