@@ -174,11 +174,7 @@ def canonical_map(statements: DataFrame) -> DataFrame:
     star-contraction loop is skipped entirely, removing the pipeline's
     main fixed (non-scaling) cost.  Component semantics are unchanged:
     contracting edges before CC preserves connected components."""
-    ents = (
-        statements.select(F.col("arg1").alias("ent"))
-        .unionByName(statements.select(F.col("arg2").alias("ent")))
-        .distinct()
-    )
+    ents = statements.select(F.explode(F.array("arg1", "arg2")).alias("ent")).distinct()
     def lex_root(c):
         return F.when(
             c.rlike(r"^C\d+_a\d+$"), F.regexp_extract(c, r"^(C\d+)_a\d+$", 1)
@@ -187,7 +183,10 @@ def canonical_map(statements: DataFrame) -> DataFrame:
     ents = ents.withColumn("root", lex_root(F.col("ent"))).withColumn(
         "rid", entity_id(F.col("root"))
     )
-    ents = ents.localCheckpoint(eager=False)
+    # persist, not localCheckpoint: the lazy checkpoint pays physical
+    # planning + codegen eagerly at definition time (~1 s measured) for
+    # the same recompute-avoidance
+    ents = ents.persist()
 
     # the root is a pure function of the surface form, so cross-root
     # edges need no join at all — one projection over the statements

@@ -22,6 +22,7 @@ across runs, partitions and resumes.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,6 +50,204 @@ def role_id(col):
     return F.xxhash64(F.concat(F.lit("role|"), col))
 
 
+# ---------------------------------------------------------------------------
+# Local assembly kernel — the round-5 size-gated pattern applied to the
+# whole post-extraction KG assembly.  At bench scale the distributed
+# assembly is ~20 sequential sub-second jobs (probe collects, cache
+# materializations, AQE stages) whose scheduler latency IS the wall
+# clock; below the gate the statement table fits on the driver and the
+# canonicalization / closure / direct-edge / filler-reduction chain is a
+# few hundred ms of dict work.  Everything above the gate (or with
+# SUBONT_LOCAL_KG=off) runs the distributed plan unchanged — the 100 TB
+# path.  Equivalence of the two paths is gated in tests/test_kg.py.
+# ---------------------------------------------------------------------------
+
+_LOCAL_KG_MAX_STMTS = int(os.environ.get("SUBONT_LOCAL_KG_MAX_STMTS", "300000"))
+
+
+def _local_kg(spark: SparkSession, pdf) -> KGResult | None:
+    """In-process twin of the distributed assembly over a collected
+    statement table.  Returns None when an internal work cap trips
+    (caller falls back to the distributed plan)."""
+    import re
+
+    import pandas as pd
+
+    from .closure import _LOCAL_TC_MAX_PAIRS, _local_close
+    from .util import ship_local_table
+
+    arg1 = pdf["arg1"].tolist()
+    arg2 = pdf["arg2"].tolist()
+    stype = pdf["stype"].tolist()
+    role = [None if r is None or r != r else r for r in pdf["role"].tolist()]
+
+    # --- canonical map: lexical-root contraction + union-find over the
+    # residual cross-root same() edges (twin of canon.canonical_map) ---
+    rx = re.compile(r"^(C\d+)_a\d+$")
+
+    def root_of(e: str) -> str:
+        m = rx.match(e)
+        return m.group(1) if m else e
+
+    ents = set(arg1)
+    ents.update(arg2)
+    roots = {e: root_of(e) for e in ents}
+    uf: dict = {}
+
+    def find(x):
+        r = x
+        while uf[r] != r:
+            uf[r] = uf[uf[r]]
+            r = uf[r]
+        return r
+
+    for s, a, b in zip(stype, arg1, arg2):
+        if s == "same":
+            ra, rb = roots[a], roots[b]
+            if ra != rb:
+                if ra not in uf:
+                    uf[ra] = ra
+                if rb not in uf:
+                    uf[rb] = rb
+                fa, fb = find(ra), find(rb)
+                if fa != fb:
+                    uf[fa] = fb
+    comp_members: dict = {}
+    for e in ents:
+        r = roots[e]
+        c = find(r) if r in uf else r
+        comp_members.setdefault(c, []).append(e)
+    cmap: dict = {}
+    for ms in comp_members.values():
+        # rep preference: canonical lexical form (no _a), then greatest
+        # entity string — same (is_canon, ent) max as canonical_map
+        rep = max(ms, key=lambda e: ("_a" not in e, e))
+        for e in ms:
+            cmap[e] = rep
+    c1 = [cmap[a] for a in arg1]
+    c2 = [cmap[b] for b in arg2]
+
+    # --- stated IS-A edges + transitive closure (strict) ---
+    parents: dict = {}
+    for s, a, b in zip(stype, c1, c2):
+        if s == "isa" and a != b:
+            parents.setdefault(a, set()).add(b)
+    anc = _local_close(parents, _LOCAL_TC_MAX_PAIRS)
+    if anc is None:
+        return None
+
+    # --- direct (non-redundant) edges: witness sweep over stated edges ---
+    desc: dict = {}
+    for d, s in anc.items():
+        for a in s:
+            desc.setdefault(a, []).append(d)
+    nond: set = set()
+    work = 0
+    for m, ps in parents.items():
+        ds = desc.get(m)
+        if not ds:
+            continue
+        for p in ps:
+            work += len(ds)
+            if work > 20_000_000:
+                return None
+            for d in ds:
+                nond.add((d, p))
+    direct = [(d, a) for d, s in anc.items() for a in s if (d, a) not in nond]
+
+    # --- attribute triples, most-specific filler per (subj, role) ---
+    attrs = {(a, r, b) for s, a, r, b in zip(stype, c1, role, c2) if s == "attr"}
+    by_sr: dict = {}
+    for a, r, b in attrs:
+        by_sr.setdefault((a, r), set()).add(b)
+    attr_reduced = []
+    for (a, r), fillers in by_sr.items():
+        # weak = fillers having a strict descendant in the same set
+        # (anc is strict, so a filler never marks itself)
+        weak = set()
+        for g in fillers:
+            ups = anc.get(g)
+            if ups:
+                weak |= ups & fillers
+        for b in fillers:
+            if b not in weak:
+                attr_reduced.append((a, r, b))
+
+    # --- ship the five surfaces back ---
+    def _df(rows, schema, sort=True):
+        if sort:
+            rows = sorted(rows)
+        if len(rows) >= 20000:
+            import pyarrow as pa
+
+            cols = list(zip(*rows)) if rows else []
+            names = [f.split(" ")[0] for f in schema.split(", ")]
+            tbl = pa.table({n: pa.array(c) for n, c in zip(names, cols)})
+            return ship_local_table(spark, tbl, schema)
+        return (
+            spark.createDataFrame(rows, schema)
+            if rows
+            else spark.createDataFrame([], schema)
+        )
+
+    import pyarrow as pa
+
+    stmt_schema = (
+        "repo string, path string, commit string, stype string, "
+        "arg1 string, role string, arg2 string, score double"
+    )
+    stmt_tbl = pa.table(
+        {
+            "repo": pa.array(pdf["repo"].tolist(), pa.string()),
+            "path": pa.array(pdf["path"].tolist(), pa.string()),
+            "commit": pa.array(pdf["commit"].tolist(), pa.string()),
+            "stype": pa.array(stype, pa.string()),
+            "arg1": pa.array(c1, pa.string()),
+            "role": pa.array(role, pa.string()),
+            "arg2": pa.array(c2, pa.string()),
+            "score": pa.array(pdf["score"].tolist(), pa.float64()),
+        }
+    )
+    statements = ship_local_table(spark, stmt_tbl, stmt_schema)
+
+    concepts = _df(
+        [(e,) for e in set(c1) | set(c2)], "ent string"
+    ).withColumn("concept_id", entity_id(F.col("ent")))
+    edge_rows = [(a, b) for a, ps in parents.items() for b in ps]
+    isa_edges = _df(edge_rows, "child_ent string, parent_ent string").select(
+        entity_id(F.col("child_ent")).alias("child"),
+        entity_id(F.col("parent_ent")).alias("parent"),
+    )
+    clo_rows = [(d, a) for d, s in anc.items() for a in s]
+    closure = _df(clo_rows, "desc_ent string, anc_ent string").select(
+        entity_id(F.col("desc_ent")).alias("desc"),
+        entity_id(F.col("anc_ent")).alias("anc"),
+    )
+    # tuple sort is None-safe here: 'attr' < 'isa' decides first, and
+    # role is None only within the isa group (compared equal, skipped)
+    trip_rows = [("isa", d, None, a) for d, a in direct] + [
+        ("attr", a, r, b) for a, r, b in attr_reduced
+    ]
+    trip_str = _df(
+        trip_rows, "stype string, subj_ent string, role string, obj_ent string"
+    )
+    triples = trip_str.select(
+        entity_id(F.col("subj_ent")).alias("subj"),
+        F.when(F.col("stype") == "isa", F.lit(IS_A).cast("long"))
+        .otherwise(role_id(F.col("role")))
+        .alias("pred"),
+        entity_id(F.col("obj_ent")).alias("obj"),
+        F.lit(0).alias("rel_group"),
+    )
+    return KGResult(
+        statements=statements,
+        concepts=concepts,
+        isa_direct=isa_edges,
+        isa_closure=closure,
+        triples=triples,
+    )
+
+
 def build_kg(spark: SparkSession, src: DataFrame, min_score: float = 0.5) -> KGResult:
     # one materialization, not three: the extraction scan (the python
     # stage) is materialized once; the canonical map is broadcast-sized;
@@ -64,32 +263,50 @@ def build_kg(spark: SparkSession, src: DataFrame, min_score: float = 0.5) -> KGR
     # output serialized).
     from pyspark import StorageLevel
 
+    from .util import plan_leaf
+
     stmts = extract_statements(src, min_score=min_score).persist(StorageLevel.MEMORY_AND_DISK)
-    stmts.count()  # materialize eagerly (like the checkpoint it replaces)
-    cmap = canonical_map(stmts).localCheckpoint(eager=False)
+    n_stmts = stmts.count()  # materialize eagerly (like the checkpoint it replaces)
+    if (
+        os.environ.get("SUBONT_LOCAL_KG", "auto") != "off"
+        and n_stmts <= _LOCAL_KG_MAX_STMTS
+    ):
+        local = _local_kg(spark, stmts.toPandas())
+        if local is not None:
+            stmts.unpersist()
+            return local
+    # consumer plans reference the statement store many times; rewrap the
+    # persisted relation as a stats-free leaf so each of them carries a
+    # one-node scan instead of the full extraction tree (whose
+    # per-consumer re-analysis/canonicalization was ~0.5 s each at bench
+    # scale — guide §3.3 "materialising an intermediate truncates the
+    # plan", without giving up the columnar cache)
+    stmts = plan_leaf(stmts)
+    cmap = canonical_map(stmts).persist()
     canon = canonicalize_statements(stmts, cmap)
 
     # the concept dimension is broadcast-sized (distinct canonical
     # surface forms); materialize it ONCE — downstream name joins
-    # (subject + object sides) otherwise re-derive the union+distinct
-    # over the statement store per consumer
+    # (subject + object sides) otherwise re-derive the distinct over the
+    # statement store per consumer.  persist() (not localCheckpoint):
+    # lazy checkpoint pays physical planning + codegen eagerly at
+    # DEFINITION time (~1 s per call measured) for the same reuse.
     concepts = (
-        canon.select(F.col("arg1").alias("ent"))
-        .unionByName(canon.select(F.col("arg2").alias("ent")))
+        canon.select(F.explode(F.array("arg1", "arg2")).alias("ent"))
         .distinct()
         .withColumn("concept_id", entity_id(F.col("ent")))
-        .localCheckpoint(eager=False)
+        .persist()
     )
 
     # the edge relation is the `hop` side of EVERY closure round and the
-    # witness side of direct-edge derivation — checkpoint it once instead
-    # of re-deriving (scan + 2 broadcast joins + distinct) per round
+    # witness side of direct-edge derivation — materialize it once
+    # instead of re-deriving (scan + 2 broadcast joins + distinct)
     isa_edges = (
         canon.filter(F.col("stype") == "isa")
         .select(entity_id(F.col("arg1")).alias("child"), entity_id(F.col("arg2")).alias("parent"))
         .filter(F.col("child") != F.col("parent"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .persist()
     )
     closure = transitive_closure(isa_edges)
     direct = derive_direct_edges(closure, edges=isa_edges)
@@ -102,7 +319,7 @@ def build_kg(spark: SparkSession, src: DataFrame, min_score: float = 0.5) -> KGR
             entity_id(F.col("arg2")).alias("obj"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .persist()
     )
     # most-specific filler per (subj, pred): antichain reduction over the
     # IS-A closure, the reference's PV redundancy elimination semantics

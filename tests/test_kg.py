@@ -165,6 +165,41 @@ def test_canonical_cross_root_same_edges(spark):
     assert cmap["C9"] == "C9"
 
 
+def test_local_kg_equals_distributed(spark, monkeypatch):
+    """The local assembly kernel (collect-gated canonicalization +
+    closure + direct + filler reduction) must reproduce the distributed
+    plan's five surfaces exactly — on the synth corpus AND on a crafted
+    corpus with cross-root same() edges (union-find path), isa chains
+    with shortcuts, and redundant attr fillers."""
+
+    def surfaces(res):
+        return {
+            name: sorted(map(tuple, getattr(res, name).collect()))
+            for name in ["statements", "concepts", "isa_direct", "isa_closure", "triples"]
+        }
+
+    crafted = [
+        "same(C1_a0, C2) ; isa(C2_a1, C9) ; attr(C3, R0, C9)",
+        "isa(C9, C4) ; isa(C2, C4) ; attr(C3, R0, C4)",  # C4 filler redundant
+        "isa(C5, C9) ; isa(C5, C4) ; same(C5_a0, C5_a1)",  # shortcut C5->C4
+        "attr(C3, R1, C4) ; mention C7",
+    ]
+    crafted_src = spark.createDataFrame(
+        [("r", f"p{i}", "c", "md", t, "h") for i, t in enumerate(crafted)],
+        "repo string, path string, commit string, lang string, content string, sha256 string",
+    )
+    synth_src = synth_corpus(spark, n_files=400, n_concepts=50)
+    for src in (crafted_src, synth_src):
+        monkeypatch.setenv("SUBONT_LOCAL_KG", "off")
+        dist = surfaces(build_kg(spark, src))
+        spark.catalog.clearCache()
+        monkeypatch.setenv("SUBONT_LOCAL_KG", "auto")
+        loc = surfaces(build_kg(spark, src))
+        spark.catalog.clearCache()
+        for name in dist:
+            assert dist[name] == loc[name], name
+
+
 def test_connected_components_local_equals_distributed(spark, monkeypatch):
     """The union-find fast path must produce the exact star-contraction
     map on randomized graphs (including hubs, chains and singletons)."""
