@@ -239,6 +239,9 @@ def _local_kg(spark: SparkSession, pdf) -> KGResult | None:
         entity_id(F.col("obj_ent")).alias("obj"),
         F.lit(0).alias("rel_group"),
     )
+    # string-level triple rows for consumers that only need names (the
+    # id joins are 1:1, so name assembly from these rows is exact)
+    triples._subont_local_trip_names = trip_rows
     return KGResult(
         statements=statements,
         concepts=concepts,

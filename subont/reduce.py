@@ -40,21 +40,37 @@ from pyspark.sql import functions as F
 _LOCAL_REDUCE_MAX_ROWS = int(os.environ.get("SUBONT_LOCAL_REDUCE_MAX_ROWS", "300000"))
 
 
-def _local_marked(
+# the full-local completion filters the collected cand rows directly
+# (no second distributed scan + anti-join); it only engages when every
+# cand column round-trips losslessly through pandas
+_LOCAL_REDUCE_ATOMIC = {"bigint", "int", "smallint", "tinyint", "string", "double", "float", "boolean"}
+
+
+def _local_reduce(
     cand: DataFrame, closure: DataFrame, set_col: str, cls_col: str, weak: bool
 ):
-    """(marked-members DataFrame, ok) — marked = weak (has a strict
-    descendant in the set) or strong (has a strict ancestor in the set).
-    ok=False → caller must use the distributed plan."""
+    """(reduced DataFrame, ok) — in-process twin of the pairs-first
+    plan when the closure carries the local ancestor map: collect the
+    (bounded) cand rows, mark weak (has a strict descendant in the set)
+    or strong (has a strict ancestor in the set) members, filter the
+    rows in-process and ship the survivors back — the previous
+    half-local form still paid a second distributed cand scan for the
+    broadcast anti-join.  ok=False → caller must use the distributed
+    plan."""
     anc = getattr(closure, "_subont_local_anc", None)
     if anc is None or os.environ.get("SUBONT_LOCAL_REDUCE", "auto") == "off":
         return None, False
-    proj = cand.select(set_col, cls_col)
-    pdf = proj.limit(_LOCAL_REDUCE_MAX_ROWS + 1).toPandas()
+    if any(f.dataType.simpleString() not in _LOCAL_REDUCE_ATOMIC for f in cand.schema.fields):
+        return None, False
+    pdf = cand.limit(_LOCAL_REDUCE_MAX_ROWS + 1).toPandas()
     if len(pdf) > _LOCAL_REDUCE_MAX_ROWS:
         return None, False
+    if pdf.isna().any().any():
+        return None, False  # null round-trip risk: use the distributed plan
+    sets = pdf[set_col].tolist()
+    clss = pdf[cls_col].tolist()
     by_set: dict = {}
-    for s, c in zip(pdf.iloc[:, 0].tolist(), pdf.iloc[:, 1].tolist()):
+    for s, c in zip(sets, clss):
         by_set.setdefault(s, set()).add(c)
     marked = set()
     for s, members in by_set.items():
@@ -73,10 +89,16 @@ def _local_marked(
                 if hit - {o}:
                     marked.add((s, o))
     spark = cand.sparkSession
-    schema = proj.schema
-    rows = sorted(marked)
-    mdf = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
-    return mdf, True
+    if marked:
+        keep = [(s, c) not in marked for s, c in zip(sets, clss)]
+        pdf = pdf[keep]
+    pdf = pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+    out = (
+        spark.createDataFrame(pdf, schema=cand.schema)
+        if len(pdf)
+        else spark.createDataFrame([], cand.schema)
+    )
+    return out, True
 
 
 def _member_pairs(cand: DataFrame, set_col: str, cls_col: str) -> DataFrame:
@@ -94,9 +116,9 @@ def eliminate_weaker(cand: DataFrame, closure: DataFrame, set_col: str = "set_id
     cand: (set_col, cls_col) — candidate sets exploded to rows.
     closure: strict (desc, anc).
     """
-    mdf, ok = _local_marked(cand, closure, set_col, cls_col, weak=True)
+    out, ok = _local_reduce(cand, closure, set_col, cls_col, weak=True)
     if ok:
-        return cand.join(F.broadcast(mdf), [set_col, cls_col], "left_anti")
+        return out
     pairs = _member_pairs(cand, set_col, cls_col)
     # cls is weak iff some same-set member is a strict descendant of it
     weak = (
@@ -114,9 +136,9 @@ def eliminate_weaker(cand: DataFrame, closure: DataFrame, set_col: str = "set_id
 def eliminate_stronger(cand: DataFrame, closure: DataFrame, set_col: str = "set_id", cls_col: str = "cls") -> DataFrame:
     """Dual (A6): keep most-general members per group
     (OntologyReasoningService.java:159-173)."""
-    mdf, ok = _local_marked(cand, closure, set_col, cls_col, weak=False)
+    out, ok = _local_reduce(cand, closure, set_col, cls_col, weak=False)
     if ok:
-        return cand.join(F.broadcast(mdf), [set_col, cls_col], "left_anti")
+        return out
     pairs = _member_pairs(cand, set_col, cls_col)
     # cls is strong iff some same-set member is a strict ancestor of it
     strong = (

@@ -16,13 +16,9 @@ Arrow-vectorized mapInPandas pass (mention detection) or JVM-side
 from __future__ import annotations
 
 import os
-from typing import Iterator
-
-import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 GAZETTEER = ["spark", "join", "merge", "window", "hash", "scan", "filter", "sort"]
 STOPWORDS = ["the", "a"]
@@ -30,25 +26,26 @@ MINHASH_SEEDS = 4
 
 
 def gazetteer_mentions(docs: DataFrame, gazetteer: list[str] | None = None) -> DataFrame:
-    """Concept-mention detection over document text: Arrow-batched
-    pandas scan (the reference's new-engine mention operator,
-    SURVEY.md §2.7).  Returns distinct (doc_id, mention)."""
-    gaz = set(gazetteer or GAZETTEER)
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType(), False),
-            T.StructField("mention", T.StringType(), False),
-        ]
+    """Concept-mention detection over document text (the reference's
+    new-engine mention operator, SURVEY.md §2.7).  Returns distinct
+    (doc_id, mention).
+
+    JVM-native (guide §4.1): token ∩ gazetteer is array_intersect over
+    the distinct-token array — no Python boundary, no Arrow transpose;
+    the only exchange left is the final distinct.  (The Arrow-vectorized
+    mapInPandas mention path remains exercised by the statement
+    extraction operator, subont.extract.)"""
+    gaz = sorted(set(gazetteer or GAZETTEER))
+    gaz_arr = F.array(*[F.lit(g) for g in gaz])
+    return (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(
+                F.array_intersect(F.array_distinct(F.split(F.col("text"), " ")), gaz_arr)
+            ).alias("mention"),
+        )
+        .distinct()
     )
-
-    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            toks = pdf["text"].str.split(" ")
-            ex = pdf[["doc_id"]].join(toks.rename("mention")).explode("mention")
-            ex = ex[ex["mention"].isin(gaz)]
-            yield ex.drop_duplicates()
-
-    return docs.select("doc_id", "text").mapInPandas(scan, schema).distinct()
 
 
 def token_stats(docs: DataFrame) -> DataFrame:
@@ -145,12 +142,22 @@ def dedup_jaccard_pairs(docs: DataFrame, num: int = 4, den: int = 5) -> DataFram
 
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_SEEDS) -> DataFrame:
     """MinHash over the distinct token set: mh_i = min(md5('s<i>|'+tok))
-    — md5-hex min is engine-portable (lexicographic on hex strings)."""
-    toks = _doc_tokens(docs)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("tok")))).alias(f"mh{i}") for i in range(k)
+    — md5-hex min is engine-portable (lexicographic on hex strings).
+
+    Computed ROW-LOCALLY with higher-order array functions (guide §4.1):
+    array_min over the transformed distinct-token array is exactly the
+    per-doc min aggregate, with no explode, no shuffle and no
+    aggregation exchange — the signature stage is a single map pass.
+    (split() always yields ≥1 element, so every doc keeps a row, as in
+    the explode+groupBy form.)"""
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    cols = [
+        F.array_min(
+            F.transform(toks, lambda t: F.md5(F.concat(F.lit(f"s{i}|"), t)))
+        ).alias(f"mh{i}")
+        for i in range(k)
     ]
-    return toks.groupBy("doc_id").agg(*aggs)
+    return docs.select("doc_id", *cols)
 
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_SEEDS, bands: int = 2) -> DataFrame:
@@ -230,18 +237,27 @@ def _hex4_to_int(col_expr: str) -> str:
 def simhash16(docs: DataFrame) -> DataFrame:
     """16-bit SimHash over distinct tokens: per-token value = first 16
     bits of md5; bit j of the sketch is set iff more tokens have bit j
-    set than unset.  Pure integer arithmetic → portable."""
-    toks = _doc_tokens(docs).withColumn(
-        "hv", F.expr(_hex4_to_int("substring(md5(tok), 1, 4)"))
-    )
-    bit_sums = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(F.when((F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)).alias(f"b{j}")
-            for j in range(16)
-        ]
-    )
-    sim = None
+    set than unset.  Pure integer arithmetic → portable.
+
+    ROW-LOCAL form (guide §4.1): the per-doc bit-sum aggregate is
+    b_j = 2·|{tokens with bit j set}| − n over the distinct-token array,
+    so one transform to the 16-bit hash values plus 16 size(filter(..))
+    terms replaces the explode + 16-sum aggregation exchange — a single
+    map pass, no shuffle."""
+    toks_sql = "array_distinct(split(text, ' '))"
+    hv_sql = f"transform({toks_sql}, t -> {_hex4_to_int('substring(md5(t), 1, 4)')})"
+    n_sql = f"size({toks_sql})"
+    terms = []
     for j in range(16):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return bit_sums.select("doc_id", sim.cast("long").alias("simhash"))
+        cnt = f"size(filter(__hv, v -> ((v >> {j}) & 1) = 1))"
+        # b_j > 0  ⟺  2*cnt - n > 0
+        terms.append(f"(CASE WHEN 2 * {cnt} - __n > 0 THEN {2 ** j} ELSE 0 END)")
+    sim_sql = " + ".join(terms)
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(hv_sql).alias("__hv"),
+            F.expr(n_sql).alias("__n"),
+        )
+        .select("doc_id", F.expr(f"cast(({sim_sql}) as bigint)").alias("simhash"))
+    )
