@@ -51,6 +51,10 @@ def _local_cc(spark, pdf) -> DataFrame:
             r = parent[r]
         return r
 
+    # mirror the distributed path's null handling (the a != b filter
+    # silently drops null rows there): without this, null endpoints turn
+    # the whole pandas column float64 and crash the sort/min below
+    pdf = pdf.dropna()
     a_col, b_col = pdf.iloc[:, 0].tolist(), pdf.iloc[:, 1].tolist()
     for a, b in zip(a_col, b_col):
         if a not in parent:
@@ -89,7 +93,16 @@ def connected_components(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
     checkpoint/aggregate barriers are the wall clock, precisely like a
     shuffle join on a broadcast-sized input."""
     if os.environ.get("SUBONT_LOCAL_CC", "auto") != "off":
-        pdf = edges.select("a", "b").limit(_LOCAL_CC_MAX_EDGES + 1).toPandas()
+        # null endpoints are filtered Spark-side BEFORE the collect (the
+        # distributed path's a != b filter drops them implicitly): a null
+        # in a collected long column coerces the whole pandas column to
+        # float64, silently corrupting ids above 2^53
+        pdf = (
+            edges.select("a", "b")
+            .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+            .limit(_LOCAL_CC_MAX_EDGES + 1)
+            .toPandas()
+        )
         if len(pdf) <= _LOCAL_CC_MAX_EDGES:
             return _local_cc(edges.sparkSession, pdf)
     # symmetrize

@@ -704,8 +704,14 @@ def _maybe_local_classify(
     sp_pdf = ont.subprops.limit(_LOCAL_TC_MAX_EDGES + 1).toPandas()
     if len(sp_pdf) > _LOCAL_TC_MAX_EDGES:
         return None
-    rc_pdf = ont.role_chains.toPandas()
-    tr_pdf = ont.transitive_roles.toPandas()
+    # same limit-gate as every other kernel collect: a pathological RBox
+    # must fall back distributed, never pull unbounded rows to the driver
+    rc_pdf = ont.role_chains.limit(_LOCAL_TC_MAX_EDGES + 1).toPandas()
+    if len(rc_pdf) > _LOCAL_TC_MAX_EDGES:
+        return None
+    tr_pdf = ont.transitive_roles.limit(_LOCAL_TC_MAX_EDGES + 1).toPandas()
+    if len(tr_pdf) > _LOCAL_TC_MAX_EDGES:
+        return None
     spark = ont.axioms.sparkSession
 
     # ---- in-process mirror of the table prep ------------------------------

@@ -196,7 +196,8 @@ def _expansion_loop(
 
     def _job_counter() -> int:
         try:
-            # py4j unwraps the AtomicInteger to a plain int
+            # py4j converts the AtomicInteger accessor's value to a plain
+            # int on this Spark/py4j build (verified live: returns int)
             return int(spark.sparkContext._jsc.sc().dagScheduler().nextJobId())
         except Exception:
             return -1
@@ -688,6 +689,7 @@ def compute_subontology(
 
     def _jobs() -> int:
         try:
+            # py4j converts the value to a plain int (verified live)
             return int(spark.sparkContext._jsc.sc().dagScheduler().nextJobId())
         except Exception:
             return -1

@@ -388,14 +388,18 @@ def _maybe_local_owl_rf2_tables(ont: Ontology, effective_time: str):
     }
 
 
-def owl_to_rf2_tables(ont: Ontology, effective_time: str = "0") -> dict[str, DataFrame]:
+def owl_to_rf2_tables(
+    ont: Ontology, effective_time: str = "0", _probe_local: bool = True
+) -> dict[str, DataFrame]:
     """Every RF2 file of the reference's OWL→RF2 zip as a DataFrame
-    (OWLtoRF2Service.java:97-226).  Fully distributed; deterministic ids."""
+    (OWLtoRF2Service.java:97-226).  Fully distributed; deterministic ids.
+    ``_probe_local=False`` skips the local-kernel probe when the caller
+    already probed (the probe costs three bounded limit-collect jobs)."""
     from .owl_io import render_axioms_df
     from .util import chk
 
     spark = ont.axioms.sparkSession
-    local = _maybe_local_owl_rf2_tables(ont, effective_time)
+    local = _maybe_local_owl_rf2_tables(ont, effective_time) if _probe_local else None
     if local is not None:
         import pandas as pd
 
@@ -550,24 +554,14 @@ def owl_to_rf2_tables(ont: Ontology, effective_time: str = "0") -> dict[str, Dat
     }
 
 
-def _tsv_text(df: DataFrame) -> str:
-    """Exact in-process twin of write_rf2_tsv's CSV-sink formatting:
-    header line, tab-separated, nulls empty, values NEVER quoted, every
-    record (header included) newline-terminated."""
-    pdf = df.toPandas()
-    lines = ["\t".join(pdf.columns)]
-    for row in pdf.itertuples(index=False, name=None):
-        lines.append("\t".join("" if v is None else str(v) for v in row))
-    return "\n".join(lines) + "\n"
-
-
 def write_owl_rf2_zip(ont: Ontology, zip_path: str, date_string: str = "20180731") -> None:
     """S9 sink: the reference's RF2 zip (OWLtoRF2Service.java:98-225).
-    Tables are computed by Spark (distributed render); a single-archive
-    zip sink is inherently one writer, so each table is Arrow-collected
-    and streamed into the archive driver-side — the same driver-memory
-    profile as the part-file repack this replaces (the driver already
-    read every part file to assemble the zip), at a third of the jobs."""
+    Below the local gate the tables are assembled straight from the
+    kernel rows; above it each table is written by the DISTRIBUTED TSV
+    sink into a staging dir and the part file is streamed into the
+    archive in 64 KB chunks — the largest inputs are exactly the ones
+    that take this path, so nothing ever materializes a full table as
+    one driver-side string (guide §5: the driver does no data work)."""
     local = _maybe_local_owl_rf2_tables(ont, "0")
     with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
         if local is not None:  # assemble straight from the local rows
@@ -577,8 +571,24 @@ def write_owl_rf2_zip(ont: Ontology, zip_path: str, date_string: str = "20180731
                 ) + "\n"
                 zf.writestr(f"{_RF2_TABLE_KEYS[key]}_INT_{date_string}.txt", txt)
             return
-        for rel, df in owl_to_rf2_tables(ont).items():
-            zf.writestr(f"{rel}_INT_{date_string}.txt", _tsv_text(df))
+        from .rf2 import write_rf2_tsv
+
+        # single probe: the kernel gate said no, so skip the re-probe
+        # inside owl_to_rf2_tables (it costs three bounded collect jobs)
+        tables = owl_to_rf2_tables(ont, _probe_local=False)
+        staging = tempfile.mkdtemp(prefix="owlrf2zip_")
+        try:
+            for i, (rel, df) in enumerate(tables.items()):
+                d = os.path.join(staging, f"t{i}")
+                write_rf2_tsv(df, d)
+                part = glob.glob(os.path.join(d, "part-*"))[0]
+                with zf.open(f"{rel}_INT_{date_string}.txt", "w") as dst, open(
+                    part, "rb"
+                ) as srcf:
+                    shutil.copyfileobj(srcf, dst, 64 * 1024)
+                shutil.rmtree(d, ignore_errors=True)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
 
 
 def read_rf2_zip(zip_path: str) -> str:

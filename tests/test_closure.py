@@ -488,6 +488,31 @@ def test_local_classify_equals_distributed_synth(spark, monkeypatch):
         assert _cl_sets(re_loc)[0] == _cl_sets(loc)[0]
 
 
+def test_local_classify_rbox_over_cap_falls_back(spark, monkeypatch):
+    """An RBox larger than the kernel gate must push classify onto the
+    distributed path (bounded collects only — closure.py kernel
+    contract), with identical results."""
+    import dataclasses
+
+    import subont.closure as cl_mod
+    from subont import fixtures
+
+    base = fixtures.dummy_ontology(spark)
+    big_chains = spark.createDataFrame(
+        [(900 + i, 910 + i, 920 + i) for i in range(40)],
+        "super_role long, left_role long, right_role long",
+    )
+    ont = dataclasses.replace(base, role_chains=big_chains)
+    monkeypatch.setattr(cl_mod, "_LOCAL_TC_MAX_EDGES", 20)
+    monkeypatch.setenv("SUBONT_LOCAL_CLASSIFY", "auto")
+    loc = classify(ont)
+    # the RBox gate tripped: no local kernel artifacts on the result
+    assert not hasattr(loc.gen_edges, "_subont_local_pairs")
+    monkeypatch.setenv("SUBONT_LOCAL_CLASSIFY", "off")
+    dist = classify(ont)
+    assert _cl_sets(loc) == _cl_sets(dist)
+
+
 def test_local_classify_distributed_seed_stays_distributed(spark, monkeypatch):
     """A seed produced by the distributed path must NOT flip the follow-up
     call onto the local kernel (no unbounded collect of a distributed

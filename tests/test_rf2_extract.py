@@ -209,23 +209,30 @@ def test_json_subset_variant(spark, tmp_path):
     assert got == [(362969004, False)]
 
 
-def test_tsv_text_twin_of_csv_sink(spark, tmp_path):
-    """_tsv_text (the zip sink's in-process formatter) is byte-identical
-    to write_rf2_tsv's CSV-sink output, including nulls, embedded
-    quotes, and the trailing newline."""
-    import glob as _glob
+def test_owl_rf2_zip_distributed_fallback_streams_same_tables(spark, tmp_path, monkeypatch):
+    """The distributed zip fallback (streamed part files — the
+    over-the-gate path) writes the same member files with the same line
+    sets as the local-kernel zip assembly."""
+    import zipfile
 
-    from subont.rf2 import write_rf2_tsv
-    from subont.rf2_extract import _tsv_text
+    from subont.rf2_extract import write_owl_rf2_zip
 
-    df = spark.createDataFrame(
-        [("1", 'say "hi"', None), ("2", "", "x"), ("3", "plain", "y")],
-        "`id` string, `term` string, `opt` string",
-    ).coalesce(1)
-    out = str(tmp_path / "dist")
-    write_rf2_tsv(df, out)
-    part = _glob.glob(out + "/part-*.csv")[0]
-    assert _tsv_text(df) == open(part).read()
+    ont = fixtures.dummy_ontology(spark)
+    p_loc = str(tmp_path / "loc.zip")
+    p_dist = str(tmp_path / "dist.zip")
+    monkeypatch.setenv("SUBONT_LOCAL_RF2", "auto")
+    write_owl_rf2_zip(ont, p_loc)
+    monkeypatch.setenv("SUBONT_LOCAL_RF2", "off")
+    write_owl_rf2_zip(ont, p_dist)
+    with zipfile.ZipFile(p_loc) as zl, zipfile.ZipFile(p_dist) as zd:
+        assert sorted(zl.namelist()) == sorted(zd.namelist())
+        for name in zl.namelist():
+            ltxt = zl.read(name).decode().splitlines()
+            dtxt = zd.read(name).decode().splitlines()
+            assert ltxt[0] == dtxt[0], name  # header line
+            assert sorted(ltxt[1:]) == sorted(dtxt[1:]), name
+            assert zl.read(name).decode().endswith("\n")
+            assert zd.read(name).decode().endswith("\n")
 
 
 def test_local_owl_rf2_tables_equal_distributed(spark, monkeypatch):
