@@ -268,10 +268,14 @@ def _maybe_local_tc(
         return None  # seed came from the distributed path: stay distributed
     # Arrow-batched collect of the (bounded) edge set; duplicates are
     # deduped in-process by the parent sets, so the caller's plan need
-    # not pay a distinct shuffle first
-    pdf0 = edges.limit(_LOCAL_TC_MAX_EDGES + 1).toPandas()
-    if len(pdf0) > _LOCAL_TC_MAX_EDGES:
+    # not pay a distinct shuffle first.  Count-gate + full collect
+    # instead of limit(cap+1): the limit form scans in sequential driver
+    # waves (1, 4, 16… partitions) at bench scale and, at production
+    # scale, ships up to cap rows to the driver just to learn the input
+    # is over the gate — the count ships nothing.
+    if edges.count() > _LOCAL_TC_MAX_EDGES:
         return None
+    pdf0 = edges.toPandas()
     col_c, col_p = pdf0.iloc[:, 0].tolist(), pdf0.iloc[:, 1].tolist()
     parents: dict = {}
     for c, p in zip(col_c, col_p):

@@ -76,12 +76,21 @@ def test_whole_stage_codegen_in_agg(spark):
     assert "partial_sum" in plan and "Exchange" in plan
 
 
-def test_kg_name_joins_broadcast(spark):
+def test_kg_name_joins_broadcast(spark, monkeypatch):
     """The kg named-triple surface joins the (broadcast-sized) concept
     dimension twice and the role dimension once — ALL THREE must plan as
-    broadcast joins; the triple table itself is never shuffled for them."""
+    broadcast joins; the triple table itself is never shuffled for them.
+    (The round-6 local assembly kernel removes the joins entirely below
+    its gate — a join-free plan is the strongest form of the property —
+    so the broadcast assertion is checked on the forced-distributed
+    plan.)"""
+    df = em.queries()["kg_corpus_triples"](spark, SF)
+    local_plan = _plan(df)
+    assert ("Join" not in local_plan) or local_plan.count("BroadcastHashJoin") >= 3
+    monkeypatch.setenv("SUBONT_LOCAL_KG", "off")
     df = em.queries()["kg_corpus_triples"](spark, SF)
     plan = _plan(df)
+    spark.catalog.clearCache()
     assert plan.count("BroadcastHashJoin") >= 3
     # the name-join keys themselves never appear in a sort-merge join
     # (inner SMJs in the pre-AQE static plan belong to the closure /
