@@ -787,8 +787,13 @@ def q_kg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = sorted(
             {(s, "isa" if st == "isa" else r, o) for st, s, r, o in trip_names}
         )
+        import pandas as pd
+
+        # pandas → Arrow local relation (the list-of-tuples form pays a
+        # per-row pickle pass, ~0.2 s at bench scale); same rows, order
         return spark.createDataFrame(
-            rows, "subj_ent string, pred_name string, obj_ent string"
+            pd.DataFrame(rows, columns=["subj_ent", "pred_name", "obj_ent"]),
+            schema="subj_ent string, pred_name string, obj_ent string",
         )
     e1 = kg.concepts.select(F.col("concept_id").alias("subj"), F.col("ent").alias("subj_ent"))
     e2 = kg.concepts.select(F.col("concept_id").alias("obj"), F.col("ent").alias("obj_ent"))

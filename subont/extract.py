@@ -80,8 +80,16 @@ def _make_statement_scan():
 
 def extract_statements(src: DataFrame, min_score: float = 0.5) -> DataFrame:
     """mapInPandas batch extraction: (repo,path,commit,lang,content) →
-    statement rows.  Batches stay in Arrow; regex runs vectorized."""
-    stmts = src.mapInPandas(_make_statement_scan(), STATEMENT_SCHEMA)
+    statement rows.  Batches stay in Arrow; regex runs vectorized.
+
+    Only the four columns the scan reads are passed through the Python
+    boundary (guide §4.1: Spark cannot see which columns an opaque
+    function touches — an explicit select is what lets column pruning
+    reach the source scan, and keeps unused payload columns like sha256
+    out of the Arrow transpose)."""
+    stmts = src.select("repo", "path", "commit", "content").mapInPandas(
+        _make_statement_scan(), STATEMENT_SCHEMA
+    )
     return stmts.filter(F.col("score") >= F.lit(min_score))
 
 

@@ -58,7 +58,8 @@ def _local_reduce(
     broadcast anti-join.  ok=False → caller must use the distributed
     plan."""
     anc = getattr(closure, "_subont_local_anc", None)
-    if anc is None or os.environ.get("SUBONT_LOCAL_REDUCE", "auto") == "off":
+    arrs = getattr(closure, "_subont_local_anc_arrays", None)
+    if (anc is None and arrs is None) or os.environ.get("SUBONT_LOCAL_REDUCE", "auto") == "off":
         return None, False
     if any(f.dataType.simpleString() not in _LOCAL_REDUCE_ATOMIC for f in cand.schema.fields):
         return None, False
@@ -69,6 +70,27 @@ def _local_reduce(
         return None, False  # null round-trip risk: use the distributed plan
     sets = pdf[set_col].tolist()
     clss = pdf[cls_col].tolist()
+    if anc is None:
+        # vectorized-TC closure: look members up in the sorted pair
+        # arrays directly (a few binary searches) instead of building
+        # the full node→ancestors dict for a handful of candidates
+        import numpy as np
+
+        if all(isinstance(c, int) for c in clss):
+            d_arr, a_arr = arrs
+
+            class _ArrAnc:
+                @staticmethod
+                def get(o):
+                    i = np.searchsorted(d_arr, o, "left")
+                    j = np.searchsorted(d_arr, o, "right")
+                    return set(a_arr[i:j].tolist()) if j > i else None
+
+            anc = _ArrAnc
+        else:
+            from .closure import _get_local_anc
+
+            anc = _get_local_anc(closure)
     by_set: dict = {}
     for s, c in zip(sets, clss):
         by_set.setdefault(s, set()).add(c)

@@ -7,6 +7,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from subont import fixtures
+import subont.closure as C
 from subont.closure import classify, derive_direct_edges, transitive_closure
 from subont.model import And, OntologyBuilder, Some, pv_id_for
 from subont.reduce import eliminate_stronger, eliminate_weaker
@@ -322,7 +323,7 @@ def _tc_both_paths(spark, monkeypatch, edge_rows, seed_rows=None):
     loc_df = transitive_closure(edges, seed_closure=seed)
     if seed is None:
         # unseeded small input must actually take the local path
-        assert getattr(loc_df, "_subont_local_anc", None) is not None
+        assert C._get_local_anc(loc_df) is not None
     return dist, _pairs(loc_df)
 
 
@@ -353,10 +354,10 @@ def test_local_tc_seeded_handoff_and_delta(spark, monkeypatch):
     monkeypatch.setenv("SUBONT_LOCAL_TC", "auto")
     e1 = spark.createDataFrame([(1, 2), (2, 3)], "child long, parent long")
     clo1 = transitive_closure(e1)
-    assert getattr(clo1, "_subont_local_anc", None)
+    assert C._get_local_anc(clo1)
     e2 = spark.createDataFrame([(3, 4)], "child long, parent long")
     clo2, delta = transitive_closure(e2, seed_closure=clo1, return_delta=True)
-    assert getattr(clo2, "_subont_local_anc", None)
+    assert C._get_local_anc(clo2)
     want = {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (3, 4)}
     assert _pairs(clo2) == want
     dpairs = _pairs(delta)
@@ -366,7 +367,7 @@ def test_local_tc_seeded_handoff_and_delta(spark, monkeypatch):
     clo1d = transitive_closure(e1)
     monkeypatch.setenv("SUBONT_LOCAL_TC", "auto")
     clo2d = transitive_closure(e2, seed_closure=clo1d)
-    assert getattr(clo2d, "_subont_local_anc", None) is None
+    assert C._get_local_anc(clo2d) is None
     assert _pairs(clo2d) == want
 
 
@@ -376,7 +377,7 @@ def test_local_tc_pairs_cap_falls_back(spark, monkeypatch):
     monkeypatch.setattr(C, "_LOCAL_TC_MAX_PAIRS", 3)
     edges = spark.createDataFrame([(i, i + 1) for i in range(1, 8)], "child long, parent long")
     clo = transitive_closure(edges)
-    assert getattr(clo, "_subont_local_anc", None) is None  # fell back
+    assert C._get_local_anc(clo) is None  # fell back
     assert len(_pairs(clo)) == 7 * 8 // 2
 
 
@@ -410,7 +411,7 @@ def test_reduce_local_equals_distributed(spark, monkeypatch):
         clo_d = transitive_closure(edges)
         monkeypatch.setenv("SUBONT_LOCAL_TC", "auto")
         clo_l = transitive_closure(edges)
-        assert getattr(clo_l, "_subont_local_anc", None) is not None
+        assert C._get_local_anc(clo_l) is not None
         for fn in (eliminate_weaker, eliminate_stronger):
             dist = {(r.set_id, r.cls) for r in fn(cand, clo_d).collect()}
             loc = {(r.set_id, r.cls) for r in fn(cand, clo_l).collect()}
@@ -435,7 +436,7 @@ def test_direct_edges_local_equals_distributed(spark, monkeypatch):
         dist_c = _pairs(derive_direct_edges(clo_d), "child", "parent")
         monkeypatch.setenv("SUBONT_LOCAL_TC", "auto")
         clo_l = transitive_closure(edges)
-        assert getattr(clo_l, "_subont_local_anc", None) is not None
+        assert C._get_local_anc(clo_l) is not None
         loc_e = _pairs(derive_direct_edges(clo_l, edges=edges), "child", "parent")
         loc_c = _pairs(derive_direct_edges(clo_l), "child", "parent")
         assert dist_e == loc_e == dist_c == loc_c, seed
@@ -587,3 +588,45 @@ def test_big_delta_naive_branch_equals_naive(spark, monkeypatch):
             continue
         assert fast.closure.exceptAll(slow.closure).isEmpty(), seed
         assert slow.closure.exceptAll(fast.closure).isEmpty(), seed
+
+
+def test_vectorized_close_equals_dict_kernel():
+    """_close_pairs_np (the vectorized unseeded local-TC kernel) must
+    produce exactly the dict kernel's sorted strict pair list on
+    randomized graphs: DAGs, cycles, self-loops, duplicate edges and
+    full-range 63-bit ids (no Spark needed — pure-kernel equivalence)."""
+    import random
+
+    import numpy as np
+
+    def dict_pairs(ch, pa):
+        parents = {}
+        for c, p in zip(ch, pa):
+            if c != p:
+                parents.setdefault(c, set()).add(p)
+        anc = C._local_close(parents, 10**9)
+        return [(d, x) for d, s in sorted(anc.items()) for x in sorted(s)]
+
+    rng = random.Random(97)
+    for trial in range(25):
+        n = rng.randint(2, 80)
+        edges = [
+            (rng.randint(0, n), rng.randint(0, n)) for _ in range(rng.randint(1, 200))
+        ]
+        if trial % 3 == 0:
+            edges += edges[: len(edges) // 2]  # duplicates
+        if trial % 4 == 0:
+            edges.append((1, 1))  # self-loop
+        ch = np.array([c for c, _ in edges], np.int64)
+        pa = np.array([p for _, p in edges], np.int64)
+        d, a = C._close_pairs_np(ch, pa, 10**9)
+        assert list(zip(d.tolist(), a.tolist())) == dict_pairs(ch.tolist(), pa.tolist()), trial
+    # 63-bit ids (the xxhash64 id space)
+    edges = [(rng.getrandbits(63) - 2**62, rng.getrandbits(63) - 2**62) for _ in range(30)]
+    edges += [(edges[i][1], edges[(i + 1) % 30][0]) for i in range(30)]
+    ch = np.array([c for c, _ in edges], np.int64)
+    pa = np.array([p for _, p in edges], np.int64)
+    d, a = C._close_pairs_np(ch, pa, 10**9)
+    assert list(zip(d.tolist(), a.tolist())) == dict_pairs(ch.tolist(), pa.tolist())
+    # pairs cap -> None (fallback contract)
+    assert C._close_pairs_np(np.array([1, 2, 3], np.int64), np.array([0, 0, 0], np.int64), 2) is None
