@@ -31,15 +31,14 @@ def concept_parent(c: int) -> int | None:
     return c // FANOUT if c >= FANOUT else None
 
 
-def stmt_hash16(salt: str):
-    """16-bit md5 hash of (file id, salt) — drives the planted-statement
-    selection.  md5 + instr arithmetic so a DuckDB oracle can recompute
-    the exact statement set (__spark_entry__.ORACLE_KG)."""
+def stmt_hash16(salt: str) -> str:
+    """SQL text of the 16-bit md5 hash of (file id, salt) — drives the
+    planted-statement selection.  md5 + instr arithmetic so a DuckDB
+    oracle can recompute the exact statement set
+    (__spark_entry__.ORACLE_KG)."""
     from .textops import _hex4_to_int
 
-    return F.expr(
-        _hex4_to_int(f"substring(md5(concat('f', cast(id as string), '|{salt}')), 1, 4)")
-    )
+    return _hex4_to_int(f"substring(md5(concat('f', cast(id as string), '|{salt}')), 1, 4)")
 
 
 def synth_corpus(
@@ -54,68 +53,57 @@ def synth_corpus(
 
     The statement-selection hashes (concept/kind/alias/role) are
     engine-portable md5 arithmetic; presentation-only columns (repo,
-    path, filler) stay on the cheaper xxhash64."""
+    path, filler) stay on the cheaper xxhash64.
+
+    The whole projection is assembled as TWO selectExpr strings (one
+    parse each) instead of per-column Column-API calls: the previous
+    withColumn/F.expr chain cost ~0.4 s of driver-side plan
+    construction per call (~150 py4j round-trips), measured round 6 —
+    pure setup latency on every bench sample and every test.  Output is
+    row-identical (A/B exceptAll both ways on three param sets)."""
     df = spark.range(0, n_files, 1, partitions or spark.sparkContext.defaultParallelism)
-    h = lambda salt: F.abs(F.xxhash64(F.col("id"), F.lit(salt)))  # noqa: E731
-    repo_idx = h("repo") % 1000
-    df = df.withColumn(
-        "repo",
-        F.when(repo_idx < 300, F.concat(F.lit("org/mega-"), (repo_idx % 3).cast("string")))
-        .otherwise(F.concat(F.lit("org/repo-"), repo_idx.cast("string"))),
+    h = lambda salt: f"abs(xxhash64(id, '{salt}'))"  # noqa: E731
+    langs_arr = "array(" + ", ".join(f"'{x}'" for x in LANGS) + ")"
+    filler_arr = "array(" + ", ".join(f"'{x}'" for x in FILLER) + ")"
+    repo_idx = f"({h('repo')} % 1000)"
+    repo = (
+        f"CASE WHEN {repo_idx} < 300 THEN concat('org/mega-', cast(({repo_idx} % 3) as string)) "
+        f"ELSE concat('org/repo-', cast({repo_idx} as string)) END"
     )
-    df = df.withColumn(
-        "path",
-        F.concat(
-            F.lit("src/"),
-            (h("dir") % 100).cast("string"),
-            F.lit("/f"),
-            F.col("id").cast("string"),
-            F.lit("."),
-            F.element_at(F.array(*[F.lit(x) for x in LANGS]), (h("lang") % len(LANGS) + 1).cast("int")),
-        ),
-    )
-    df = df.withColumn("commit", F.substring(F.sha2(F.concat(F.lit("commit"), F.col("id").cast("string")), 256), 1, 40))
-    df = df.withColumn(
-        "lang", F.element_at(F.array(*[F.lit(x) for x in LANGS]), (h("lang") % len(LANGS) + 1).cast("int"))
-    )
+    lang = f"element_at({langs_arr}, cast((({h('lang')} % {len(LANGS)}) + 1) as int))"
+    path = f"concat('src/', cast(({h('dir')} % 100) as string), '/f', cast(id as string), '.', {lang})"
+    commit = "substring(sha2(concat('commit', cast(id as string)), 256), 1, 40)"
 
     # planted statements, deterministic per (file, slot) — portable hashes
     stmts = []
     for s in range(statements_per_file):
-        c = stmt_hash16(f"c{s}") % n_concepts
-        kind = stmt_hash16(f"k{s}") % 3
-        alias = (stmt_hash16(f"a{s}") % N_ALIASES).cast("string")
-        alias2 = ((stmt_hash16(f"a{s}") + 1) % N_ALIASES).cast("string")
-        role = (stmt_hash16(f"r{s}") % N_ROLES).cast("string")
-        tgt = (c * 7 + 13) % n_concepts
-        parent = (c / FANOUT).cast("long")
-        cs, ts = c.cast("string"), F.lit("")
+        c = f"({stmt_hash16(f'c{s}')} % {n_concepts})"
+        kind = f"({stmt_hash16(f'k{s}')} % 3)"
+        alias = f"cast(({stmt_hash16(f'a{s}')} % {N_ALIASES}) as string)"
+        alias2 = f"cast((({stmt_hash16(f'a{s}')} + 1) % {N_ALIASES}) as string)"
+        role = f"cast(({stmt_hash16(f'r{s}')} % {N_ROLES}) as string)"
+        tgt = f"((({c} * 7) + 13) % {n_concepts})"
+        parent = f"cast(({c} / {FANOUT}) as bigint)"
+        cs = f"cast({c} as string)"
         stmt = (
-            F.when(
-                (kind == 0) & (c >= FANOUT),
-                F.concat(F.lit("isa(C"), cs, F.lit("_a"), alias, F.lit(", C"), parent.cast("string"), F.lit(")")),
-            )
-            .when(
-                kind == 1,
-                F.concat(F.lit("attr(C"), cs, F.lit(", R"), role, F.lit(", C"), tgt.cast("string"), F.lit(")")),
-            )
-            .when(
-                kind == 2,
-                F.concat(F.lit("same(C"), cs, F.lit("_a"), alias, F.lit(", C"), cs, F.lit("_a"), alias2, F.lit(")")),
-            )
-            .otherwise(F.concat(F.lit("mention C"), cs))
+            f"CASE WHEN ({kind} = 0) AND ({c} >= {FANOUT}) THEN "
+            f"concat('isa(C', {cs}, '_a', {alias}, ', C', cast({parent} as string), ')') "
+            f"WHEN {kind} = 1 THEN concat('attr(C', {cs}, ', R', {role}, ', C', cast({tgt} as string), ')') "
+            f"WHEN {kind} = 2 THEN concat('same(C', {cs}, '_a', {alias}, ', C', {cs}, '_a', {alias2}, ')') "
+            f"ELSE concat('mention C', {cs}) END"
         )
         stmts.append(stmt)
     # bulk filler: a repeated word block sized by a per-file hash — cheap
     # to generate but realistic content volume for the extraction scan
-    word = F.element_at(F.array(*[F.lit(x) for x in FILLER]), (h("wsel") % len(FILLER) + 1).cast("int"))
-    filler = F.concat_ws(
-        " ",
-        F.array_repeat(word, (h("wlen") % filler_words + filler_words // 2 + 1).cast("int")),
+    word = f"element_at({filler_arr}, cast((({h('wsel')} % {len(FILLER)}) + 1) as int))"
+    rep_n = f"cast((({h('wlen')} % {filler_words}) + {filler_words // 2 + 1}) as int)"
+    filler = f"concat_ws(' ', array_repeat({word}, {rep_n}))"
+    content = f"concat_ws(' ', {filler}, concat_ws(' ; ', {', '.join(stmts)}))"
+    df = df.selectExpr(
+        f"{repo} AS repo", f"{path} AS path", f"{commit} AS commit",
+        f"{lang} AS lang", f"{content} AS content",
     )
-    df = df.withColumn("content", F.concat_ws(" ", filler, F.concat_ws(" ; ", *stmts)))
-    df = df.withColumn("sha256", F.sha2(F.col("content"), 256))
-    return df.select("repo", "path", "commit", "lang", "content", "sha256")
+    return df.selectExpr("repo", "path", "commit", "lang", "content", "sha2(content, 256) AS sha256")
 
 
 def repartition_for_scale(df: DataFrame, by: tuple[str, ...] = ("repo", "lang")) -> DataFrame:

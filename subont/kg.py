@@ -65,33 +65,51 @@ def role_id(col):
 _LOCAL_KG_MAX_STMTS = int(os.environ.get("SUBONT_LOCAL_KG_MAX_STMTS", "300000"))
 
 
-def _local_kg(spark: SparkSession, pdf) -> KGResult | None:
+class _LazyKGResult:
+    """Attribute-compatible KGResult twin whose DataFrame surfaces are
+    built on FIRST ACCESS.  The headline consumer (q_kg_corpus) reads
+    only the string-level triple rows (``_subont_local_trip_names``), so
+    the other surfaces' plan construction — ~470 py4j round-trips +
+    createDataFrame/parquet shipping, ~0.2 s measured at bench scale —
+    runs only for consumers that actually touch them (guide §1.2: don't
+    compute things you throw away)."""
+
+    def __init__(self, thunks: dict, trip_names: list):
+        self._thunks = thunks
+        self._subont_local_trip_names = trip_names
+
+    def __getattr__(self, name: str):
+        thunks = self.__dict__["_thunks"]
+        if name in thunks:
+            val = thunks[name]()
+            setattr(self, name, val)  # memoize: each surface built once
+            return val
+        raise AttributeError(name)
+
+
+def _local_kg(spark: SparkSession, pdf):
     """In-process twin of the distributed assembly over a collected
     statement table.  Returns None when an internal work cap trips
-    (caller falls back to the distributed plan)."""
-    import re
-
+    (caller falls back to the distributed plan).  The row work is
+    pandas/numpy-vectorized (guide §4.2) and the result surfaces are
+    lazy (_LazyKGResult)."""
     import pandas as pd
 
     from .closure import _LOCAL_TC_MAX_PAIRS, _local_close
     from .util import ship_local_table
 
-    arg1 = pdf["arg1"].tolist()
-    arg2 = pdf["arg2"].tolist()
-    stype = pdf["stype"].tolist()
-    role = [None if r is None or r != r else r for r in pdf["role"].tolist()]
+    stype_s = pdf["stype"]
+    stype_np = stype_s.to_numpy()
 
     # --- canonical map: lexical-root contraction + union-find over the
-    # residual cross-root same() edges (twin of canon.canonical_map) ---
-    rx = re.compile(r"^(C\d+)_a\d+$")
-
-    def root_of(e: str) -> str:
-        m = rx.match(e)
-        return m.group(1) if m else e
-
-    ents = set(arg1)
-    ents.update(arg2)
-    roots = {e: root_of(e) for e in ents}
+    # residual cross-root same() edges (twin of canon.canonical_map);
+    # roots come from one vectorized str.replace over the distinct
+    # entity set rather than a per-entity python regex match ---
+    ents_s = pd.Series(
+        pd.unique(pd.concat([pdf["arg1"], pdf["arg2"]], ignore_index=True))
+    )
+    roots_s = ents_s.str.replace(r"^(C\d+)_a\d+$", r"\1", regex=True)
+    roots = dict(zip(ents_s, roots_s))
     uf: dict = {}
 
     def find(x):
@@ -101,20 +119,19 @@ def _local_kg(spark: SparkSession, pdf) -> KGResult | None:
             r = uf[r]
         return r
 
-    for s, a, b in zip(stype, arg1, arg2):
-        if s == "same":
-            ra, rb = roots[a], roots[b]
-            if ra != rb:
-                if ra not in uf:
-                    uf[ra] = ra
-                if rb not in uf:
-                    uf[rb] = rb
-                fa, fb = find(ra), find(rb)
-                if fa != fb:
-                    uf[fa] = fb
+    same_mask = stype_np == "same"
+    for a, b in zip(pdf["arg1"].to_numpy()[same_mask], pdf["arg2"].to_numpy()[same_mask]):
+        ra, rb = roots[a], roots[b]
+        if ra != rb:
+            if ra not in uf:
+                uf[ra] = ra
+            if rb not in uf:
+                uf[rb] = rb
+            fa, fb = find(ra), find(rb)
+            if fa != fb:
+                uf[fa] = fb
     comp_members: dict = {}
-    for e in ents:
-        r = roots[e]
+    for e, r in zip(ents_s, roots_s):
         c = find(r) if r in uf else r
         comp_members.setdefault(c, []).append(e)
     cmap: dict = {}
@@ -124,14 +141,19 @@ def _local_kg(spark: SparkSession, pdf) -> KGResult | None:
         rep = max(ms, key=lambda e: ("_a" not in e, e))
         for e in ms:
             cmap[e] = rep
-    c1 = [cmap[a] for a in arg1]
-    c2 = [cmap[b] for b in arg2]
+    c1_s = pdf["arg1"].map(cmap)
+    c2_s = pdf["arg2"].map(cmap)
+    c1_np = c1_s.to_numpy()
+    c2_np = c2_s.to_numpy()
 
     # --- stated IS-A edges + transitive closure (strict) ---
+    isa_mask = stype_np == "isa"
+    ia, ib = c1_np[isa_mask], c2_np[isa_mask]
+    ne = ia != ib
+    edge_pdf = pd.DataFrame({"a": ia[ne], "b": ib[ne]}).drop_duplicates()
     parents: dict = {}
-    for s, a, b in zip(stype, c1, c2):
-        if s == "isa" and a != b:
-            parents.setdefault(a, set()).add(b)
+    for a, b in zip(edge_pdf["a"].to_numpy(), edge_pdf["b"].to_numpy()):
+        parents.setdefault(a, set()).add(b)
     anc = _local_close(parents, _LOCAL_TC_MAX_PAIRS)
     if anc is None:
         return None
@@ -156,9 +178,18 @@ def _local_kg(spark: SparkSession, pdf) -> KGResult | None:
     direct = [(d, a) for d, s in anc.items() for a in s if (d, a) not in nond]
 
     # --- attribute triples, most-specific filler per (subj, role) ---
-    attrs = {(a, r, b) for s, a, r, b in zip(stype, c1, role, c2) if s == "attr"}
+    attr_mask = stype_np == "attr"
+    attr_pdf = pd.DataFrame(
+        {
+            "a": c1_np[attr_mask],
+            "r": pdf["role"].to_numpy()[attr_mask],
+            "b": c2_np[attr_mask],
+        }
+    ).drop_duplicates()
     by_sr: dict = {}
-    for a, r, b in attrs:
+    for a, r, b in zip(
+        attr_pdf["a"].to_numpy(), attr_pdf["r"].to_numpy(), attr_pdf["b"].to_numpy()
+    ):
         by_sr.setdefault((a, r), set()).add(b)
     attr_reduced = []
     for (a, r), fillers in by_sr.items():
@@ -173,7 +204,13 @@ def _local_kg(spark: SparkSession, pdf) -> KGResult | None:
             if b not in weak:
                 attr_reduced.append((a, r, b))
 
-    # --- ship the five surfaces back ---
+    # tuple sort is None-safe here: 'attr' < 'isa' decides first, and
+    # role is None only within the isa group (compared equal, skipped)
+    trip_rows = [("isa", d, None, a) for d, a in direct] + [
+        ("attr", a, r, b) for a, r, b in attr_reduced
+    ]
+
+    # --- the five surfaces, shipped back LAZILY on first access ---
     def _df(rows, schema, sort=True):
         if sort:
             rows = sorted(rows)
@@ -190,64 +227,74 @@ def _local_kg(spark: SparkSession, pdf) -> KGResult | None:
         # through per-row pickling (~0.1-0.2 s per call at bench scale)
         return spark.createDataFrame(pd.DataFrame(rows, columns=names), schema=schema)
 
-    import pyarrow as pa
+    def _statements():
+        import pyarrow as pa
 
-    stmt_schema = (
-        "repo string, path string, commit string, stype string, "
-        "arg1 string, role string, arg2 string, score double"
-    )
-    stmt_tbl = pa.table(
+        role = [None if r is None or r != r else r for r in pdf["role"].tolist()]
+        stmt_schema = (
+            "repo string, path string, commit string, stype string, "
+            "arg1 string, role string, arg2 string, score double"
+        )
+        stmt_tbl = pa.table(
+            {
+                "repo": pa.array(pdf["repo"].tolist(), pa.string()),
+                "path": pa.array(pdf["path"].tolist(), pa.string()),
+                "commit": pa.array(pdf["commit"].tolist(), pa.string()),
+                "stype": pa.array(stype_np.tolist(), pa.string()),
+                "arg1": pa.array(c1_s.tolist(), pa.string()),
+                "role": pa.array(role, pa.string()),
+                "arg2": pa.array(c2_s.tolist(), pa.string()),
+                "score": pa.array(pdf["score"].tolist(), pa.float64()),
+            }
+        )
+        return ship_local_table(spark, stmt_tbl, stmt_schema)
+
+    def _concepts():
+        return _df([(e,) for e in set(c1_np) | set(c2_np)], "ent string").withColumn(
+            "concept_id", entity_id(F.col("ent"))
+        )
+
+    def _isa_edges():
+        edge_rows = [(a, b) for a, ps in parents.items() for b in ps]
+        return _df(edge_rows, "child_ent string, parent_ent string").select(
+            entity_id(F.col("child_ent")).alias("child"),
+            entity_id(F.col("parent_ent")).alias("parent"),
+        )
+
+    def _closure():
+        clo_rows = [(d, a) for d, s in anc.items() for a in s]
+        return _df(clo_rows, "desc_ent string, anc_ent string").select(
+            entity_id(F.col("desc_ent")).alias("desc"),
+            entity_id(F.col("anc_ent")).alias("anc"),
+        )
+
+    def _triples():
+        trip_str = _df(
+            trip_rows, "stype string, subj_ent string, role string, obj_ent string"
+        )
+        triples = trip_str.select(
+            entity_id(F.col("subj_ent")).alias("subj"),
+            F.when(F.col("stype") == "isa", F.lit(IS_A).cast("long"))
+            .otherwise(role_id(F.col("role")))
+            .alias("pred"),
+            entity_id(F.col("obj_ent")).alias("obj"),
+            F.lit(0).alias("rel_group"),
+        )
+        # string-level triple rows for consumers that only need names
+        # (the id joins are 1:1, so name assembly from these rows is
+        # exact) — also exposed on the result object itself
+        triples._subont_local_trip_names = trip_rows
+        return triples
+
+    return _LazyKGResult(
         {
-            "repo": pa.array(pdf["repo"].tolist(), pa.string()),
-            "path": pa.array(pdf["path"].tolist(), pa.string()),
-            "commit": pa.array(pdf["commit"].tolist(), pa.string()),
-            "stype": pa.array(stype, pa.string()),
-            "arg1": pa.array(c1, pa.string()),
-            "role": pa.array(role, pa.string()),
-            "arg2": pa.array(c2, pa.string()),
-            "score": pa.array(pdf["score"].tolist(), pa.float64()),
-        }
-    )
-    statements = ship_local_table(spark, stmt_tbl, stmt_schema)
-
-    concepts = _df(
-        [(e,) for e in set(c1) | set(c2)], "ent string"
-    ).withColumn("concept_id", entity_id(F.col("ent")))
-    edge_rows = [(a, b) for a, ps in parents.items() for b in ps]
-    isa_edges = _df(edge_rows, "child_ent string, parent_ent string").select(
-        entity_id(F.col("child_ent")).alias("child"),
-        entity_id(F.col("parent_ent")).alias("parent"),
-    )
-    clo_rows = [(d, a) for d, s in anc.items() for a in s]
-    closure = _df(clo_rows, "desc_ent string, anc_ent string").select(
-        entity_id(F.col("desc_ent")).alias("desc"),
-        entity_id(F.col("anc_ent")).alias("anc"),
-    )
-    # tuple sort is None-safe here: 'attr' < 'isa' decides first, and
-    # role is None only within the isa group (compared equal, skipped)
-    trip_rows = [("isa", d, None, a) for d, a in direct] + [
-        ("attr", a, r, b) for a, r, b in attr_reduced
-    ]
-    trip_str = _df(
-        trip_rows, "stype string, subj_ent string, role string, obj_ent string"
-    )
-    triples = trip_str.select(
-        entity_id(F.col("subj_ent")).alias("subj"),
-        F.when(F.col("stype") == "isa", F.lit(IS_A).cast("long"))
-        .otherwise(role_id(F.col("role")))
-        .alias("pred"),
-        entity_id(F.col("obj_ent")).alias("obj"),
-        F.lit(0).alias("rel_group"),
-    )
-    # string-level triple rows for consumers that only need names (the
-    # id joins are 1:1, so name assembly from these rows is exact)
-    triples._subont_local_trip_names = trip_rows
-    return KGResult(
-        statements=statements,
-        concepts=concepts,
-        isa_direct=isa_edges,
-        isa_closure=closure,
-        triples=triples,
+            "statements": _statements,
+            "concepts": _concepts,
+            "isa_direct": _isa_edges,
+            "isa_closure": _closure,
+            "triples": _triples,
+        },
+        trip_rows,
     )
 
 
