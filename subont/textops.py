@@ -170,57 +170,65 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = MINHASH_SEEDS, bands: int = 2) -
     for b in range(bands):
         cols = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
         band_key.append(F.md5(F.concat_ws("|", *cols)))
-    # each banded row carries the EARLIER bands' keys ("prior"): a pair
-    # that collides in several bands is emitted only from its first
-    # colliding band (kept iff no earlier band key matches), so the join
-    # output is already the distinct pair set and the final
-    # distinct-exchange over the (quadratic) pair volume — measured 15M
-    # pre-distinct rows at sf0.1 — is gone entirely (guide §2.3/§2.4:
-    # dedup before the shuffle, then remove the shuffle).
-    parts = []
-    for b in range(bands):
-        parts.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                band_key[b].alias("bkey"),
-                F.array(*[band_key[p] for p in range(b)]).alias("prior"),
-            )
-        )
-    banded = parts[0]
-    for p in parts[1:]:
-        banded = banded.unionByName(p)
+    # Each band-b row carries the EARLIER bands' keys: a pair that
+    # collides in several bands is emitted only from its first colliding
+    # band (kept iff no earlier band key matches), so the join output is
+    # already the distinct pair set and the final distinct-exchange over
+    # the (quadratic) pair volume — measured 15M pre-distinct rows at
+    # sf0.1 — is gone entirely (guide §2.3/§2.4: dedup before the
+    # shuffle, then remove the shuffle).  ONE JOIN PER BAND instead of a
+    # single join over the banded union: the prior-key test becomes a
+    # conjunction of SCALAR column inequalities instead of a per-row
+    # zip_with/exists over prior arrays (~30M pre-filter rows each
+    # allocated a boolean array; 1.34 s → 0.94 s measured at sf0.1,
+    # output multiset-identical).
+    #
     # SALTED bucket self-join.  A hot bucket (thousands of near-identical
     # docs sharing one band key — common in crawl data) explodes
     # quadratically inside a single shuffle partition: partitioning on
-    # (band, bkey) alone cannot split it, and AQE's skew splitter only
-    # balances input bytes, not join OUTPUT.  Classic triangle salting:
-    # each doc gets a slice s = hash(doc_id) mod S; the left side is
-    # replicated once per target slice and the join key gains the
-    # right side's slice, so one bucket's pair explosion spreads over S
+    # bkey alone cannot split it, and AQE's skew splitter only balances
+    # join INPUT bytes, not join OUTPUT.  Classic triangle salting: each
+    # doc gets a slice s = hash(doc_id) mod S; the left side is
+    # replicated once per target slice and the join key gains the right
+    # side's slice, so one bucket's pair explosion spreads over S
     # partitions.  Output is identical (every (x, y) pair still meets
     # exactly once, at slice(y)).  Explicit numPartitions keeps AQE from
     # re-coalescing the small pre-explosion inputs into one task.
     S = int(os.environ.get("SUBONT_LSH_SALT", "16"))
-    n_out = banded.sparkSession.sparkContext.defaultParallelism
+    n_out = docs.sparkSession.sparkContext.defaultParallelism
     slice_of = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(S)).cast("int")
-    a = (
-        banded.select(F.col("doc_id").alias("doc_a"), "band", "bkey", F.col("prior").alias("prior_a"))
-        .withColumn("sb", F.explode(F.array(*[F.lit(i) for i in range(S)])))
-        .repartition(n_out, "band", "bkey", "sb")
-    )
-    b2 = banded.select(
-        F.col("doc_id").alias("doc_b"), "band", "bkey", F.col("prior").alias("prior_b"), slice_of.alias("sb")
-    ).repartition(n_out, "band", "bkey", "sb")
-    no_earlier_collision = ~F.exists(
-        F.zip_with(F.col("prior_a"), F.col("prior_b"), lambda x, y: x == y),
-        lambda t: t,
-    )
-    return (
-        a.join(b2, ["band", "bkey", "sb"])
-        .filter((F.col("doc_a") < F.col("doc_b")) & no_earlier_collision)
-        .select("doc_a", "doc_b")
-    )
+    # the (doc_id, band keys, slice) projection is referenced by all
+    # 2×bands join sides — persist it so the signature md5s are computed
+    # ONCE per doc instead of once per side (linear, a few dozen bytes
+    # per doc; at 100 TB this is the standard persisted-signature table)
+    keyed = sig.select(
+        "doc_id",
+        *[band_key[b].alias(f"bk{b}") for b in range(bands)],
+        slice_of.alias("sb0"),
+    ).persist()
+    out = None
+    for b in range(bands):
+        a = (
+            keyed.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col(f"bk{b}").alias("bkey"),
+                *[F.col(f"bk{p}").alias(f"pk{p}_a") for p in range(b)],
+            )
+            .withColumn("sb", F.explode(F.array(*[F.lit(i) for i in range(S)])))
+            .repartition(n_out, "bkey", "sb")
+        )
+        b2 = keyed.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col(f"bk{b}").alias("bkey"),
+            *[F.col(f"bk{p}").alias(f"pk{p}_b") for p in range(b)],
+            F.col("sb0").alias("sb"),
+        ).repartition(n_out, "bkey", "sb")
+        j = a.join(b2, ["bkey", "sb"]).filter(F.col("doc_a") < F.col("doc_b"))
+        for p in range(b):
+            j = j.filter(F.col(f"pk{p}_a") != F.col(f"pk{p}_b"))
+        j = j.select("doc_a", "doc_b")
+        out = j if out is None else out.unionByName(j)
+    return out
 
 
 def _hex4_to_int(col_expr: str) -> str:
