@@ -601,11 +601,16 @@ def _forest_edges(spark: SparkSession, sf_dir: str, shortcuts: bool = False) -> 
         F.col("o_orderkey").alias("child"), F.expr("o_orderkey div 10").alias("parent")
     )
     if shortcuts:
+        # no .distinct(): the two branches cannot overlap (k div 10 >
+        # k div 100 for every k ≥ 100) and each is unique per key, so
+        # the dedup exchange was a no-op evaluated on every downstream
+        # pass (TC gate count, TC collect, witness collect); closure /
+        # direct-edge consumers are set-semantic over edges regardless
         e = e.unionByName(
             orders.filter((F.col("o_orderkey") >= 100) & (F.col("o_orderkey") % 3 == 0)).select(
                 F.col("o_orderkey").alias("child"), F.expr("o_orderkey div 100").alias("parent")
             )
-        ).distinct()
+        )
     return e
 
 

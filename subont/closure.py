@@ -372,6 +372,7 @@ def _maybe_local_tc(
     seed_closure: DataFrame | None,
     return_delta: bool,
     big: bool,
+    edges_in: DataFrame | None = None,
 ) -> DataFrame | tuple[DataFrame, DataFrame] | None:
     mode = os.environ.get("SUBONT_LOCAL_TC", "auto")
     if mode == "off" or big:
@@ -412,6 +413,18 @@ def _maybe_local_tc(
         out = _pairs_to_df(edges, d_arr, a_arr, "desc", "anc")
         out._subont_local_anc_arrays = (d_arr, a_arr)
         out._subont_local_anc_fn = lambda da=d_arr, aa=a_arr: _anc_dict_from_pairs(da, aa)
+        if edges_in is not None:
+            # stash the ALREADY-COLLECTED edge arrays keyed by the
+            # caller's DataFrame object: derive_direct_edges(closure,
+            # edges=<same object>) then skips its own witness collect —
+            # a third evaluation of the edge plan in the closure+direct
+            # query shape (identity-checked, so a different witness
+            # relation never reuses these rows)
+            out._subont_local_src_edges = (
+                edges_in,
+                pdf0.iloc[:, 0].to_numpy(np.int64),
+                pdf0.iloc[:, 1].to_numpy(np.int64),
+            )
         return out
     col_c, col_p = pdf0.iloc[:, 0].tolist(), pdf0.iloc[:, 1].tolist()
     parents: dict = {}
@@ -468,11 +481,12 @@ def transitive_closure(
     true delta is fine for its consumer, the semi-naive rule evaluation
     in classify, which only uses it to bound candidate generation).
     """
+    edges_in = edges
     edges = edges.select(F.col("child").alias("desc"), F.col("parent").alias("anc"))
     # local probe runs on the UN-deduped select (dedup happens in the
     # in-process parent sets) so the small-input path never pays the
     # distinct shuffle; the distributed path dedups as before
-    local = _maybe_local_tc(edges, seed_closure, return_delta, big)
+    local = _maybe_local_tc(edges, seed_closure, return_delta, big, edges_in=edges_in)
     if local is not None:
         return local
     edges = edges.distinct()
@@ -579,6 +593,76 @@ def transitive_closure(
     return out
 
 
+def _local_direct_np(
+    closure_df: DataFrame,
+    d_arr,
+    a_arr,
+    edges_df: DataFrame | None,
+    edge_arrays=None,
+):
+    """Vectorized twin of ``_local_direct`` for array-backed closures
+    (the unseeded vectorized-TC output): the witness sweep runs as a
+    searchsorted gather + packed-key setdiff in numpy C kernels instead
+    of a python dict-of-sets build (~0.4 s) + per-mark set.add loop
+    (~1-2 s at the 640k-pair bench closure).  Same 20M-mark work cap,
+    same strict-closure semantics, byte-identical (child, parent)
+    ordering.  Returns None → caller falls back (dict path or
+    distributed plan)."""
+    import numpy as np
+    import pandas as pd
+
+    if edge_arrays is not None:
+        ec, ep = edge_arrays  # witness rows already collected by the TC probe
+    elif edges_df is not None:
+        pdf = edges_df.limit(_LOCAL_TC_MAX_EDGES + 1).toPandas()
+        if len(pdf) > _LOCAL_TC_MAX_EDGES:
+            return None
+        if len(pdf.columns) != 2 or not all(
+            str(t) == "int64" for t in pdf.dtypes
+        ):
+            return None  # nulls / non-int ids: use the dict or distributed path
+        ec = pdf.iloc[:, 0].to_numpy(np.int64)
+        ep = pdf.iloc[:, 1].to_numpy(np.int64)
+    else:
+        ec, ep = d_arr, a_arr  # the closure is its own last-hop witness set
+    nd = len(d_arr)
+    vals = np.concatenate([d_arr, a_arr, ec, ep])
+    codes, uniq = pd.factorize(vals)
+    n = len(uniq)
+    dc = codes[:nd].astype(np.int64)
+    ac = codes[nd : 2 * nd].astype(np.int64)
+    ecc = codes[2 * nd : 2 * nd + len(ec)].astype(np.int64)
+    epc = codes[2 * nd + len(ec) :].astype(np.int64)
+    # closure sorted by anc: descendants of m are one contiguous slice
+    o = np.argsort(ac, kind="stable")
+    ac_s, dc_s = ac[o], dc[o]
+    lo = np.searchsorted(ac_s, ecc, "left")
+    hi = np.searchsorted(ac_s, ecc, "right")
+    cnt = hi - lo
+    if int(cnt.sum()) > 20_000_000:
+        return None
+    sel = cnt > 0
+    cs = cnt[sel]
+    if len(cs):
+        tot = int(cs.sum())
+        starts = np.repeat(lo[sel], cs)
+        offs = np.arange(tot) - np.repeat(np.cumsum(cs) - cs, cs)
+        # mark (descendant-of-m, p) for each witness edge (m, p);
+        # n ≤ 2·edge-gate + closure nodes ≪ 2^31, so keys pack into int64
+        nond = np.unique(dc_s[starts + offs] * n + np.repeat(epc[sel], cs))
+    else:
+        nond = np.empty(0, np.int64)
+    clo_keys = dc * n + ac
+    if len(nond):
+        pos = np.minimum(np.searchsorted(nond, clo_keys), len(nond) - 1)
+        keep = nond[pos] != clo_keys
+    else:
+        keep = np.ones(nd, bool)
+    d_out, a_out = d_arr[keep], a_arr[keep]
+    o2 = np.lexsort((a_out, d_out))
+    return _pairs_to_df(closure_df, d_out[o2], a_out[o2], "child", "parent")
+
+
 def _local_direct(closure_df: DataFrame, anc: dict, edges_df: DataFrame | None):
     """In-process witness-form direct-edge derivation for a closure that
     carries the local ancestor map.  Work-capped: returns None (caller
@@ -625,15 +709,23 @@ def derive_direct_edges(closure: DataFrame, edges: DataFrame | None = None) -> D
     last-hop edge witness) — linear in |edges| instead of the
     closure ⋈ closure square, and far lighter on hub-ancestor skew.
     """
-    anc_map = (
-        _get_local_anc(closure)
-        if os.environ.get("SUBONT_LOCAL_TC", "auto") != "off"
-        else None
-    )
-    if anc_map is not None and os.environ.get("SUBONT_LOCAL_TC", "auto") != "off":
-        out = _local_direct(closure, anc_map, edges)
-        if out is not None:
-            return out
+    if os.environ.get("SUBONT_LOCAL_TC", "auto") != "off":
+        arrs = getattr(closure, "_subont_local_anc_arrays", None)
+        if arrs is not None:
+            src = getattr(closure, "_subont_local_src_edges", None)
+            edge_arrays = (
+                (src[1], src[2])
+                if src is not None and edges is not None and src[0] is edges
+                else None
+            )
+            out = _local_direct_np(closure, arrs[0], arrs[1], edges, edge_arrays)
+            if out is not None:
+                return out
+        anc_map = _get_local_anc(closure)
+        if anc_map is not None:
+            out = _local_direct(closure, anc_map, edges)
+            if out is not None:
+                return out
     if edges is not None:
         b = edges.select(F.col("child").alias("b_desc"), F.col("parent").alias("b_anc"))
     else:
