@@ -229,22 +229,36 @@ def ivf_assign(embeddings: DataFrame, centroids: dict[int, list[float]]) -> Data
     portable greatest/CASE cascade).  At scale, queries probe only their
     bucket — the shuffle partitions by cluster.  For codebooks beyond a
     few hundred centroids use ``ivf_assign_broadcast`` (numpy scoring,
-    constant-size plan)."""
-    cols = {cid: F.expr(cosine_expr("embedding", vec)) for cid, vec in centroids.items()}
-    df = embeddings
-    for cid, e in cols.items():
-        df = df.withColumn(f"c{cid}", e)
+    constant-size plan).
+
+    The per-centroid cosine columns are computed in their OWN persisted
+    stage and the argmax CASE references them as plain column refs.
+    Without the barrier, CollapseProject inlines every k×dim-term cosine
+    into each of the k·(k-1) cascade comparisons and the single
+    generated method blows past Janino's limits: whole-stage codegen
+    then FAILS (slowly — multi-second compile attempt, re-paid for
+    every fresh plan because the codegen cache keys on source text with
+    new expression ids) and falls back to interpreted eval.  Measured
+    round 6 on ivf_search: 11.4 s → 0.94 s, identical rows.  The
+    cached stage is (vec_id, k cosines) — linear in N, and codebooks
+    past IVF_BROADCAST_THRESHOLD use the numpy path anyway."""
+    cid_sorted = sorted(centroids)
+    cos_cols = [
+        F.expr(cosine_expr("embedding", centroids[cid])).alias(f"c{cid}")
+        for cid in cid_sorted
+    ]
+    scored = embeddings.select("vec_id", *cos_cols).persist()
     best = None
-    for cid in sorted(cols):
+    for cid in cid_sorted:
         # ≥ vs later ids, strict > vs earlier ids → ties go to the
         # lowest centroid id, deterministically
         conds = [
             (F.col(f"c{cid}") >= F.col(f"c{other}")) if cid < other else (F.col(f"c{cid}") > F.col(f"c{other}"))
-            for other in sorted(cols)
+            for other in cid_sorted
             if other != cid
         ]
         allc = conds[0]
         for c in conds[1:]:
             allc = allc & c
         best = F.when(allc, F.lit(cid)) if best is None else best.when(allc, F.lit(cid))
-    return df.select("vec_id", best.alias("cluster"))
+    return scored.select("vec_id", best.alias("cluster"))
