@@ -442,6 +442,27 @@ def test_direct_edges_local_equals_distributed(spark, monkeypatch):
         assert dist_e == loc_e == dist_c == loc_c, seed
 
 
+def test_direct_edges_numpy_path_engages(spark, monkeypatch):
+    """The vectorized witness sweep (_local_direct_np) must actually
+    ENGAGE for an int64 array-backed closure — its result is a local
+    relation with no Join in the plan.  (Output equality is gated by
+    the randomized test above; this pins the physical path so a silent
+    fallback to the python-dict or distributed form cannot regress the
+    round-6 2.57→1.1 s win unnoticed.)"""
+    monkeypatch.setenv("SUBONT_LOCAL_TC", "auto")
+    edges = spark.createDataFrame(
+        [(i, i // 10) for i in range(10, 800)], "child long, parent long"
+    )
+    clo = transitive_closure(edges)
+    assert getattr(clo, "_subont_local_anc_arrays", None) is not None
+    # the TC probe stashed the collected edge arrays for this object
+    src = getattr(clo, "_subont_local_src_edges", None)
+    assert src is not None and src[0] is edges
+    d = derive_direct_edges(clo, edges=edges)
+    plan = d._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, plan
+
+
 # ---------------------------------------------------------------------------
 # local classify kernel ≡ distributed classify (fixture + randomized synth)
 # ---------------------------------------------------------------------------
